@@ -1,0 +1,111 @@
+"""EKF linear-algebra building blocks.
+
+Fixed-shape, mask-aware versions of:
+  * left-nullspace projection of the feature Jacobian
+    (reference ``msckf_update.cpp:419-432,494-501``)
+  * Householder QR measurement compression on the augmented [H | res]
+    (Dongarra trick, reference ``vio_updater.cpp:487-512``)
+  * the (I)EKF gain/covariance update (reference ``updater.cpp:117-141``)
+
+Row masking convention: disabled measurement rows are identically zero in
+H *and* res. Zero rows survive every orthogonal transform here as
+zero-information rows (their S block is the noise floor), so padding never
+changes the update — verified in tests against ragged NumPy oracles.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def symmetrize(p: jnp.ndarray) -> jnp.ndarray:
+    return 0.5 * (p + jnp.swapaxes(p, -1, -2))
+
+
+def nullspace_project(
+    hf: jnp.ndarray, h: jnp.ndarray, res: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Project (h, res) onto the left nullspace of ``hf``; also return the
+    column-space projections used by MSCKF-SLAM init (Li 2012).
+
+    hf: (r, 3) feature Jacobian (zero rows where masked)
+    h: (r, d), res: (r,)
+
+    Returns (h0, res0, h1, r1_and_h2):
+      h0 = A^T h   (r-3, d)   — nullspace part (rows beyond rank are zero)
+      res0 = A^T res (r-3,)
+      h1 = Q1^T h  (3, d)     — column-space part
+      (r1, h2) = (Q1^T res (3,), Q1^T hf (3,3))
+    """
+    q, _ = jnp.linalg.qr(hf, mode="complete")  # (r, r)
+    q1 = q[:, :3]
+    a = q[:, 3:]
+    h0 = a.T @ h
+    res0 = a.T @ res
+    h1 = q1.T @ h
+    r1 = q1.T @ res
+    h2 = q1.T @ hf
+    return h0, res0, h1, (r1, h2)
+
+
+def qr_compress(
+    h: jnp.ndarray, res: jnp.ndarray, noise_std: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whitened QR measurement compression.
+
+    The reference QR-decomposes the *unwhitened* augmented [H|res] and then
+    replaces R with sigma_img^2 I (``vio_updater.cpp:487-512``) — exact only
+    when every row shares sigma_img. We whiten each row by its own std
+    first, which is algebraically exact for mixed sensors (image + range +
+    solar rows) and reduces the post-QR noise model to exactly I.
+
+    h: (r, d), res: (r,), noise_std: (r,) — masked rows must be zero (their
+    std may be anything positive).
+    Returns (h_c, res_c) with shapes ((d, d), (d,)) and implicit R = I.
+    """
+    d = h.shape[1]
+    w = 1.0 / noise_std
+    aug = jnp.concatenate([h * w[:, None], (res * w)[:, None]], axis=1)
+    r_fact = jnp.linalg.qr(aug, mode="r")  # (min(r, d+1), d+1)
+    return r_fact[:d, :d], r_fact[:d, d]
+
+
+def whiten(h: jnp.ndarray, res: jnp.ndarray, noise_std: jnp.ndarray):
+    w = 1.0 / noise_std
+    return h * w[:, None], res * w
+
+
+def kalman_update(
+    cov: jnp.ndarray,
+    h: jnp.ndarray,
+    res: jnp.ndarray,
+    correction_total: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One (I)EKF update with whitened rows (R = I).
+
+    Mirrors ``Updater::applyUpdate`` (``updater.cpp:117-141``):
+      S = H P H^T + I ;  K = P H^T S^-1
+      correction = K (res + H @ corr_total) - corr_total
+      P <- sym((I - K H) P)
+    Returns (correction, new_cov).
+    """
+    d = cov.shape[0]
+    pht = cov @ h.T
+    s = h @ pht + jnp.eye(h.shape[0], dtype=cov.dtype)
+    cho = jax.scipy.linalg.cho_factor(s)
+    # K = P H^T S^-1  via solving S K^T = H P
+    k = jax.scipy.linalg.cho_solve(cho, pht.T).T
+    correction = k @ (res + h @ correction_total) - correction_total
+    new_cov = symmetrize((jnp.eye(d, dtype=cov.dtype) - k @ h) @ cov)
+    return correction, new_cov
+
+
+def mahalanobis_gamma(
+    cov: jnp.ndarray, h: jnp.ndarray, res: jnp.ndarray
+) -> jnp.ndarray:
+    """gamma = res^T (H P H^T + I)^-1 res for whitened rows."""
+    s = h @ (cov @ h.T) + jnp.eye(h.shape[0], dtype=cov.dtype)
+    cho = jax.scipy.linalg.cho_factor(s)
+    return res @ jax.scipy.linalg.cho_solve(cho, res)
