@@ -1,0 +1,90 @@
+"""End-to-end single-agent VIO on a synthetic sequence (the minimum
+end-to-end slice: IMU propagation + match-driven visual updates)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from x_multi_agent_tpu.ekf.state import StateDims
+from x_multi_agent_tpu.vio import pipeline, vio as vio_mod
+from x_multi_agent_tpu.vio import track_manager as tm
+from x_multi_agent_tpu.utils.sim import make_circle_sim
+
+DIMS = StateDims(n_poses=8, n_features=8, buffer_size=64)
+TRACKS = tm.TrackDims(
+    n_slam=8, n_poses=8, n_opp=40, n_matches=60, n_msckf=8, n_short=6, n_new_slam=8
+)
+CFG = pipeline.VioConfig(
+    dims=DIMS,
+    tracks=TRACKS,
+    sigma_img=2e-3,
+    min_track_length=5,
+    msckf_baseline_x_n=0.01,
+    msckf_baseline_y_n=0.01,
+    # on clean synthetic data the OC projection lets yaw random-walk (by
+    # design; it blocks yaw corrections); disable for the tight ATE check
+    obs_constrained=False,
+)
+PARAMS = vio_mod.VioParams(
+    cfg=CFG,
+    dtype="float64",
+    max_update_lag=32,
+    sigma_dv=(0.05, 0.05, 0.05),
+    sigma_dtheta_deg=(1.0, 1.0, 1.0),
+    sigma_dbw_deg=(1.0, 1.0, 1.0),
+    sigma_dba=(0.05, 0.05, 0.05),
+)
+
+
+def run_sequence(duration=4.0, pixel_noise=5e-4, seed=1):
+    sim = make_circle_sim(
+        duration=duration,
+        imu_rate=100.0,
+        cam_rate=10.0,
+        n_landmarks=30,
+        match_budget=TRACKS.n_matches,
+        pixel_noise=pixel_noise,
+        seed=seed,
+    )
+    v = vio_mod.VIO(PARAMS)
+    # true initial velocity of the circle trajectory: (r*omega, 0, 0)
+    v.init_at_time(0.0, v=np.array([1.5 * 1.2, 0.0, 0.0]))
+
+    imu_i = 0
+    est_p, true_p = [], []
+    n_applied = 0
+    for f, t_cam in enumerate(sim.cam_t):
+        # feed IMU up to (and including) the camera time
+        while imu_i < len(sim.imu_t) and sim.imu_t[imu_i] <= t_cam + 1e-9:
+            v.process_imu(
+                sim.imu_t[imu_i], imu_i, sim.imu_w[imu_i], sim.imu_a[imu_i]
+            )
+            imu_i += 1
+        matches = tm.Matches(
+            track_id=jnp.asarray(sim.match_id[f]),
+            prev_pt=jnp.asarray(sim.match_prev[f]),
+            cur_pt=jnp.asarray(sim.match_cur[f]),
+            valid=jnp.asarray(sim.match_valid[f]),
+        )
+        applied = v.process_matches_measurement(t_cam, f, matches)
+        n_applied += int(applied)
+        tail = v.tail_state()
+        est_p.append(np.array(tail.p))
+        true_p.append(sim.cam_p[f])
+    return v, np.array(est_p), np.array(true_p), n_applied
+
+
+@pytest.mark.slow
+def test_vio_converges_on_synthetic_circle():
+    v, est_p, true_p, n_applied = run_sequence()
+    assert n_applied == len(est_p)
+    err = np.linalg.norm(est_p - true_p, axis=1)
+    # IMU dead-reckoning alone would drift meters with the noisy init;
+    # with visual updates the trajectory must stay centimetric.
+    rmse = np.sqrt(np.mean(err**2))
+    assert rmse < 0.05, f"RMSE {rmse:.3f} m too large; per-frame err tail {err[-5:]}"
+    # SLAM features got initialized
+    assert int(v.fs.vision.n_valid_features) > 0
+    # covariance stays symmetric and PSD-ish
+    cov = np.array(v.fs.cov)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-10)
+    assert np.all(np.linalg.eigvalsh(cov) > -1e-9)

@@ -222,6 +222,40 @@ def _repropagate_tail(params: EkfParams, fs: FilterState, idx) -> FilterState:
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
+def process_update_aux(
+    params: EkfParams, fs: FilterState, meas_time, update_fn, aux
+):
+    """Like :func:`process_update` but threads an auxiliary pytree (e.g.
+    track slots) through the update:
+    update_fn(core, vision, cov, aux) -> (core, vision, cov, aux).
+    Returns (fs, aux, applied)."""
+    b = params.dims.buffer_size
+    times = fs.buffer.time
+    idx = rb.closest_idx(times, jnp.asarray(meas_time, fs.cov.dtype), params.time_margin)
+    anchor_t = times[fs.anchor_buf_idx]
+    in_window = (
+        (idx >= 0)
+        & (fs.status == 2)
+        & (rb.steps_between(fs.anchor_buf_idx, idx, b) < params.max_update_lag)
+        & (times[jnp.maximum(idx, 0)] >= anchor_t)
+    )
+
+    def do_update(args):
+        fs, aux = args
+        cov_meas = _cov_at(params, fs, idx)
+        core = rb.get_slot(fs.buffer, idx)
+        core1, vision1, cov1, aux1 = update_fn(core, fs.vision, cov_meas, aux)
+        buf = rb.set_slot(fs.buffer, idx, core1)
+        fs = dataclasses.replace(
+            fs, buffer=buf, cov=cov1, vision=vision1, anchor_buf_idx=idx
+        )
+        return _repropagate_tail(params, fs, idx), aux1
+
+    fs, aux = jax.lax.cond(in_window, do_update, lambda a: a, (fs, aux))
+    return fs, aux, in_window
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def process_update(
     params: EkfParams, fs: FilterState, meas_time, update_fn: UpdateFn
 ) -> Tuple[FilterState, jnp.ndarray]:

@@ -108,6 +108,12 @@ class VisionState:
     n_valid_poses: jnp.ndarray  # int32 scalar, # filled window slots
     n_valid_features: jnp.ndarray  # int32 scalar, # active SLAM features
 
+    # The window is RIGHT-aligned (TPU redesign): the newest pose is always
+    # at static slot M-1 and valid poses occupy slots [M - n_valid, M).
+    # The reference fills left-to-right then slides; right alignment makes
+    # the current-pose index static and the slide unconditional, with
+    # identical filter semantics (sliding an invalid slot out is a no-op).
+
     @staticmethod
     def zero(dims: StateDims, dtype=jnp.float32) -> "VisionState":
         return VisionState(
@@ -120,7 +126,7 @@ class VisionState:
         )
 
     def pose_mask(self, dims: StateDims) -> jnp.ndarray:
-        return jnp.arange(dims.n_poses) < self.n_valid_poses
+        return jnp.arange(dims.n_poses) >= dims.n_poses - self.n_valid_poses
 
     def feature_mask(self, dims: StateDims) -> jnp.ndarray:
         return jnp.arange(dims.n_features) < self.n_valid_features

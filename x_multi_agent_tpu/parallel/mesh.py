@@ -1,0 +1,82 @@
+"""Multi-agent parallelism: agents sharded over the device mesh.
+
+The reference's "distributed backend" is N independent VIO processes
+exchanging payloads over a ROS network (SURVEY §2.9.5, §5.8). The TPU
+re-design: all agents' filter states are one stacked pytree, sharded over
+an ``agents`` mesh axis; per-agent filtering is vmapped; inter-agent
+exchange (place recognition, CI fusion) becomes XLA collectives
+(all_gather of fixed-size payloads) riding ICI instead of request-response
+messaging.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ekf import ekf as ekf_mod
+from ..vio import pipeline
+from ..vio import track_manager as tm
+from ..vio import vio as vio_mod
+
+
+def make_agent_mesh(devices=None, name: str = "agents") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (name,))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def init_agents(params: vio_mod.VioParams, n_agents: int):
+    """Stacked (FilterState, TrackSlots) for n_agents (leading agent dim)."""
+    fs, slots = vio_mod.init_at_time(params, 0.0)
+    stack = lambda x: jnp.broadcast_to(x, (n_agents,) + x.shape)
+    return jax.tree.map(stack, fs), jax.tree.map(stack, slots)
+
+
+def agent_step_fn(params: vio_mod.VioParams):
+    """Per-agent full step: an IMU batch + one visual update.
+
+    vmapped over the leading agent axis; shard_map the result over the mesh
+    for multi-chip execution.
+    """
+
+    def one_agent(fs, slots, imu_times, imu_seqs, imu_w, imu_a, meas_time, meas):
+        fs = ekf_mod.process_imu_batch(
+            params.ekf_params, fs, imu_times, imu_seqs, imu_w, imu_a
+        )
+
+        def update_fn(core, vision, cov, slots):
+            return pipeline.visual_update(params.cfg, core, vision, cov, slots, meas)
+
+        fs, slots, applied = ekf_mod.process_update_aux(
+            params.ekf_params, fs, meas_time, update_fn, slots
+        )
+        return fs, slots, applied
+
+    return jax.vmap(one_agent)
+
+
+def sharded_step(params: vio_mod.VioParams, mesh: Mesh):
+    """The multi-chip step: agents data-parallel over the mesh axis.
+
+    Collaborative exchange (all_gather of keyframe payloads + CI fusion)
+    plugs in here once per exchange round — see parallel/collab.py.
+    """
+    step = agent_step_fn(params)
+    aspec = P("agents")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(aspec,) * 8,
+        out_specs=(aspec, aspec, aspec),
+    )
+    def _step(fs, slots, imu_times, imu_seqs, imu_w, imu_a, meas_time, meas):
+        return step(fs, slots, imu_times, imu_seqs, imu_w, imu_a, meas_time, meas)
+
+    return jax.jit(_step)

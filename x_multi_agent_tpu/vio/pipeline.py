@@ -1,0 +1,242 @@
+"""The fused per-frame visual update program.
+
+This is the TPU re-design of ``Updater::update`` (reference
+``updater.cpp:39-115``) + ``VioUpdater`` (``vio_updater.cpp``): one jitted,
+fixed-shape program per camera frame that runs
+
+  track classification -> short-MSCKF update -> state management
+  (remove/reparametrize/slide/augment) -> [IEKF x iekf_iter] stacked
+  MSCKF + MSCKF-SLAM + SLAM + range + solar rows -> whitened QR compression
+  -> Kalman update -> feature initialization
+
+Everything is masked/fixed-budget; gated-out rows are zeros and provably
+do not affect the update (see ops/linalg.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ekf.state import (
+    CoreState,
+    StateDims,
+    VisionState,
+    camera_orientation,
+    camera_position,
+    correct_core,
+    correct_vision,
+)
+from ..ops import linalg
+from . import state_manager as sm
+from . import track_manager as tm
+from .updates import msckf, msckf_slam, range as range_upd, slam, solar
+
+
+class VioConfig(NamedTuple):
+    """Static VIO configuration (hashable; reference ``vio/types.h:33-189``
+    defaults)."""
+
+    dims: StateDims = StateDims()
+    tracks: tm.TrackDims = tm.TrackDims()
+    q_ic: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    p_ic: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    sigma_img: float = 0.005  # normalized-coordinate image noise std
+    sigma_range: float = 0.05
+    rho_0: float = 0.5
+    sigma_rho_0: float = 0.25
+    min_track_length: int = 15
+    iekf_iter: int = 1
+    msckf_baseline_x_n: float = 0.02
+    msckf_baseline_y_n: float = 0.02
+    # Hesch observability-constrained projection in MSCKF rows
+    # (msckf_update.cpp:393-406). True = reference parity. On clean
+    # synthetic data it lets yaw random-walk (by design); turning it off
+    # tightens ATE there.
+    obs_constrained: bool = True
+
+
+class FrameMeasurement(NamedTuple):
+    """Per-frame inputs to the visual update (fixed shapes)."""
+
+    matches: tm.Matches
+    # range (LRF) measurement; active if timestamp-like flag set
+    range_value: jnp.ndarray  # scalar
+    range_img_pt: jnp.ndarray  # (2,) normalized LRF image point
+    range_active: jnp.ndarray  # bool
+    range_feat_ids: jnp.ndarray  # (3,) int32 facet feature slots
+    # sun sensor
+    sun_angles: jnp.ndarray  # (2,)
+    sun_active: jnp.ndarray  # bool
+
+    @staticmethod
+    def from_matches(cfg: VioConfig, matches: tm.Matches) -> "FrameMeasurement":
+        dtype = matches.cur_pt.dtype
+        return FrameMeasurement(
+            matches=matches,
+            range_value=jnp.zeros((), dtype),
+            range_img_pt=jnp.zeros((2,), dtype),
+            range_active=jnp.asarray(False),
+            range_feat_ids=jnp.zeros((3,), jnp.int32),
+            sun_angles=jnp.zeros((2,), dtype),
+            sun_active=jnp.asarray(False),
+        )
+
+
+def _stack_rows(*rows_list):
+    jac = jnp.concatenate([r.jac for r in rows_list], axis=0)
+    res = jnp.concatenate([r.res for r in rows_list], axis=0)
+    std = jnp.concatenate([r.noise_std for r in rows_list], axis=0)
+    return jac, res, std
+
+
+def _apply_rows(cov, jac, res, std, correction_total, cov_update=True):
+    """Whiten -> (QR-compress if overdetermined) -> Kalman update."""
+    d = cov.shape[0]
+    hw, rw = linalg.whiten(jac, res, std)
+    if jac.shape[0] > d + 1:
+        hw, rw = linalg.qr_compress(jac, res, std)
+    corr, cov1 = linalg.kalman_update(cov, hw, rw, correction_total)
+    if not cov_update:
+        cov1 = cov
+    return corr, cov1
+
+
+def visual_update(
+    cfg: VioConfig,
+    core: CoreState,
+    vision: VisionState,
+    cov: jnp.ndarray,
+    slots: tm.TrackSlots,
+    meas: FrameMeasurement,
+):
+    """One full visual update at the measurement state.
+
+    Returns (core, vision, cov, slots).
+    """
+    dims = cfg.dims
+    m, n = dims.n_poses, dims.n_features
+    d = dims.d
+    dtype = cov.dtype
+    q_ic = jnp.asarray(cfg.q_ic, dtype)
+    p_ic = jnp.asarray(cfg.p_ic, dtype)
+
+    # ---------------- 1. track classification (pre-slide window) ----------
+    q_cur = camera_orientation(core, q_ic)
+    slots, frame, slam_z = tm.manage_tracks(
+        cfg.tracks,
+        slots,
+        meas.matches,
+        vision.q_arr,
+        q_cur,
+        cfg.min_track_length,
+        cfg.msckf_baseline_x_n,
+        cfg.msckf_baseline_y_n,
+        prev_pose_valid=vision.n_valid_poses >= 1,
+    )
+
+    # ---------------- 2. short-MSCKF update (pre-slide pose list) ---------
+    short_rows, _ = msckf.build(
+        frame.short_obs,
+        frame.short_mask,
+        vision.q_arr,
+        vision.p_arr,
+        cov,
+        cfg.sigma_img,
+        n,
+        oc=cfg.obs_constrained,
+    )
+    have_short = frame.short_valid.any()
+    corr_short, cov = jax.lax.cond(
+        have_short,
+        lambda: _apply_rows(cov, *short_rows, jnp.zeros(d, dtype)),
+        lambda: (jnp.zeros(d, dtype), cov),
+    )
+    core = correct_core(core, corr_short)
+    vision = correct_vision(vision, corr_short, dims)
+
+    # ---------------- 3. state management ---------------------------------
+    vision, cov, perm, n_keep = sm.manage(
+        dims, core, vision, cov, frame.lost_slam, q_ic, p_ic
+    )
+    slots = tm.apply_slam_compaction(slots, perm, n_keep)
+    # compact the per-frame SLAM observation set the same way
+    keep_sorted = jnp.arange(n) < n_keep
+    slam_z = jnp.where(keep_sorted[:, None], slam_z[perm], 0.0)
+    slam_has_obs = jnp.where(keep_sorted, frame.slam_has_obs[perm], False)
+    slam_len = jnp.where(keep_sorted, slots.slam_length, 0)
+
+    cur_pose_idx = m - 1  # static: the window is right-aligned
+
+    # ---------------- 4. IEKF loop: stacked update -------------------------
+    correction_total = jnp.zeros(d, dtype)
+    ms_init = None
+    for it in range(cfg.iekf_iter):
+        msckf_rows, _ = msckf.build(
+            frame.msckf_obs, frame.msckf_mask, vision.q_arr, vision.p_arr,
+            cov, cfg.sigma_img, n, oc=cfg.obs_constrained,
+        )
+        new_mask_ms = frame.new_mask & frame.new_is_msckf[:, None]
+        mslam_rows, ms_init = msckf_slam.build(
+            frame.new_obs, new_mask_ms, vision.q_arr, vision.p_arr, cov,
+            cfg.sigma_img, n,
+        )
+        slam_rows = slam.build(
+            vision.f_arr, vision.anchor_idx, vision.q_arr, vision.p_arr,
+            slam_z, slam_has_obs, jnp.minimum(slam_len, m), cov,
+            cur_pose_idx, cfg.sigma_img,
+        )
+        lrf_rows = range_upd.build(
+            meas.range_value, meas.range_img_pt, meas.range_feat_ids,
+            vision.f_arr, vision.anchor_idx, vision.q_arr, vision.p_arr,
+            cov, cur_pose_idx, cfg.sigma_range, meas.range_active,
+        )
+        sns_rows = solar.build(
+            meas.sun_angles, core.q, cov, meas.sun_active,
+        )
+        jac, res, std = _stack_rows(
+            msckf_rows, mslam_rows, slam_rows, lrf_rows, sns_rows
+        )
+        have_any = jnp.any(res != 0.0) | jnp.any(jac != 0.0)
+        is_last = it == cfg.iekf_iter - 1
+
+        def apply(args):
+            cov_in, corr_tot = args
+            corr, cov1 = _apply_rows(cov_in, jac, res, std, corr_tot, cov_update=is_last)
+            return corr, cov1
+
+        corr, cov = jax.lax.cond(
+            have_any,
+            apply,
+            lambda a: (jnp.zeros(d, dtype), a[0]),
+            (cov, correction_total),
+        )
+        core = correct_core(core, corr)
+        vision = correct_vision(vision, corr, dims)
+        correction_total = correction_total + corr
+
+    # ---------------- 5. feature initialization ---------------------------
+    ms_finite = (
+        jnp.isfinite(ms_init.h2).all(axis=(1, 2))
+        & jnp.isfinite(ms_init.h1).all(axis=(1, 2))
+        & jnp.isfinite(ms_init.features).all(axis=1)
+    )
+    accept_ms = frame.new_valid & frame.new_is_msckf & ms_finite
+    accept_std = frame.new_valid & ~frame.new_is_msckf
+    n_feat_before = vision.n_valid_features
+
+    vision, cov = sm.init_msckf_slam_features(
+        dims, vision, cov, ms_init.h1, ms_init.h2, ms_init.r1,
+        ms_init.features, accept_ms, correction_total, cfg.sigma_img,
+    )
+    std_z = frame.new_obs[:, m - 1]
+    vision, cov = sm.init_standard_slam_features(
+        dims, vision, cov, std_z, accept_std, cfg.rho_0, cfg.sigma_img,
+        cfg.sigma_rho_0,
+    )
+    accepted = jnp.where(frame.new_is_msckf, accept_ms, accept_std)
+    slots = tm.insert_new_slam_tracks(slots, frame, accepted, n_feat_before)
+
+    return core, vision, cov, slots

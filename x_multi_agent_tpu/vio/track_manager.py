@@ -1,0 +1,440 @@
+"""Track classification & bookkeeping as fixed-shape tensor ops.
+
+Behavioral spec: reference ``src/x/vio/track_manager.cpp``
+(``manageTracks``, ``track_manager.cpp:115-436``). Dynamic track lists
+become slot arrays + masks:
+
+  * SLAM tracks live in N slots aligned 1:1 with the filter's feature
+    states (``VisionState.f_arr``); removing a lost feature applies the
+    *same* compaction permutation to tracks, feature states and covariance.
+  * opportunistic tracks live in a K-slot pool; identity is a track id
+    carried by the tracker/feeder (replacing the reference's
+    feature-equality match association, ``track_manager.cpp:146``).
+  * per-frame classes (MSCKF / short-MSCKF / new-SLAM std & MSCKF-SLAM)
+    are emitted into fixed budgets via mask-compaction (stable argsort).
+
+Observation storage is window-aligned: obs slot m corresponds to sliding
+window pose slot m. On every frame live tracks shift left by one (the
+window slides) and the new observation lands in slot M-1. Dead tracks keep
+the pre-shift alignment, which is exactly what the short-MSCKF update needs
+(it runs against the pre-slide pose list, reference ``updater.cpp:52-75``).
+
+Round-1 simplification (documented deviation): the per-tile feature
+*spreading/eviction* heuristic (``track_manager.cpp:325-395``) is not yet
+implemented — promotion is purely by track length, longest first. This
+changes which features are selected on real imagery but no filter math.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+class TrackDims(NamedTuple):
+    n_slam: int = 15  # == StateDims.n_features
+    n_poses: int = 15  # == StateDims.n_poses (M)
+    n_opp: int = 60  # opportunistic pool slots
+    n_matches: int = 200  # per-frame match budget
+    n_msckf: int = 10  # MSCKF tracks per frame budget
+    n_short: int = 10  # short-MSCKF tracks per frame budget
+    n_new_slam: int = 15  # new SLAM features per frame budget (<= n_slam)
+
+
+@_pytree_dataclass
+class TrackSlots:
+    """Persistent track storage (one per agent)."""
+
+    slam_obs: jnp.ndarray  # (N, M, 2)
+    slam_mask: jnp.ndarray  # (N, M) bool
+    slam_id: jnp.ndarray  # (N,) int32, -1 = inactive
+    slam_length: jnp.ndarray  # (N,) int32 total obs count (chi2 dof)
+    opp_obs: jnp.ndarray  # (K, M, 2)
+    opp_mask: jnp.ndarray  # (K, M)
+    opp_id: jnp.ndarray  # (K,)
+    opp_length: jnp.ndarray  # (K,)
+
+    @staticmethod
+    def zero(dims: TrackDims, dtype=jnp.float32) -> "TrackSlots":
+        n, m, k = dims.n_slam, dims.n_poses, dims.n_opp
+        return TrackSlots(
+            slam_obs=jnp.zeros((n, m, 2), dtype),
+            slam_mask=jnp.zeros((n, m), bool),
+            slam_id=jnp.full((n,), -1, jnp.int32),
+            slam_length=jnp.zeros((n,), jnp.int32),
+            opp_obs=jnp.zeros((k, m, 2), dtype),
+            opp_mask=jnp.zeros((k, m), bool),
+            opp_id=jnp.full((k,), -1, jnp.int32),
+            opp_length=jnp.zeros((k,), jnp.int32),
+        )
+
+
+@_pytree_dataclass
+class Matches:
+    """Per-frame feature matches in normalized undistorted coordinates.
+
+    ``track_id`` is stable across frames (tracker/feeder-assigned); a match
+    whose id is not in any live track starts a new opportunistic track with
+    (prev, cur) as its first two observations.
+    """
+
+    track_id: jnp.ndarray  # (J,) int32
+    prev_pt: jnp.ndarray  # (J, 2)
+    cur_pt: jnp.ndarray  # (J, 2)
+    valid: jnp.ndarray  # (J,) bool
+
+    @staticmethod
+    def zero(dims: TrackDims, dtype=jnp.float32) -> "Matches":
+        j = dims.n_matches
+        return Matches(
+            track_id=jnp.full((j,), -1, jnp.int32),
+            prev_pt=jnp.zeros((j, 2), dtype),
+            cur_pt=jnp.zeros((j, 2), dtype),
+            valid=jnp.zeros((j,), bool),
+        )
+
+
+@_pytree_dataclass
+class FrameTracks:
+    """Per-frame classified measurement sets (fixed budgets)."""
+
+    # SLAM: aligned with feature slots (post-shift, current obs at M-1)
+    slam_has_obs: jnp.ndarray  # (N,)
+    lost_slam: jnp.ndarray  # (N,) active slots that died this frame
+    # MSCKF: full-window opportunistic tracks, post-shift alignment
+    msckf_obs: jnp.ndarray  # (Km, M, 2)
+    msckf_mask: jnp.ndarray  # (Km, M)
+    msckf_valid: jnp.ndarray  # (Km,)
+    # short MSCKF: dead tracks, PRE-shift alignment (old window)
+    short_obs: jnp.ndarray  # (Ks, M, 2)
+    short_mask: jnp.ndarray  # (Ks, M)
+    short_valid: jnp.ndarray  # (Ks,)
+    # new SLAM features (MSCKF-SLAM group first, then std — matches the
+    # state-insertion order, vio_updater.cpp postUpdate)
+    new_obs: jnp.ndarray  # (Kn, M, 2)
+    new_mask: jnp.ndarray  # (Kn, M)
+    new_valid: jnp.ndarray  # (Kn,)
+    new_is_msckf: jnp.ndarray  # (Kn,) baseline-OK -> MSCKF-SLAM init
+    new_id: jnp.ndarray  # (Kn,)
+    new_length: jnp.ndarray  # (Kn,)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def compaction_perm(keep: jnp.ndarray) -> jnp.ndarray:
+    """Stable permutation putting kept slots first (used for both track
+    slots and feature states/covariance so they stay aligned)."""
+    return jnp.argsort(~keep, stable=True)
+
+
+def _select_budget(mask: jnp.ndarray, order_key: jnp.ndarray, budget: int):
+    """Pick up to ``budget`` slots where mask, highest order_key first.
+
+    Returns (indices (budget,), valid (budget,)).
+    """
+    key = jnp.where(mask, order_key, -jnp.inf)
+    idx = jnp.argsort(-key, stable=True)[:budget]
+    valid = mask[idx]
+    return idx, valid
+
+
+def check_baseline(
+    obs: jnp.ndarray,  # (M, 2)
+    mask: jnp.ndarray,  # (M,)
+    q_list: jnp.ndarray,  # (M, 4) camera attitudes, window-aligned
+    last_idx,  # traced: index of the reference (last) pose/obs
+    min_baseline_x: float,
+    min_baseline_y: float,
+):
+    """Rotation-compensated normalized-coordinate spread test (reference
+    ``TrackManager::checkBaseline``, ``track_manager.cpp:576-636``)."""
+    dtype = obs.dtype
+    q_n = q_list[last_idx]
+
+    # Cn_q_Ci = Ci_q_G^-1 * Cn_q_G ; ray_Cn = R(Cn_q_Ci)^T @ ray_Ci
+    q_rel = lie.quat_multiply(lie.quat_conjugate(q_list), q_n[None])  # (M,4)
+    r_rel = lie.quat_to_rot(q_rel)  # (M,3,3)
+    rays = jnp.concatenate([obs, jnp.ones(obs.shape[:-1] + (1,), dtype)], -1)
+    rot = jnp.einsum("mji,mj->mi", r_rel, rays)  # R^T @ ray
+    z = rot[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1.0)
+    xy = rot[:, :2] / safe_z[:, None]
+
+    big = jnp.asarray(jnp.inf, dtype)
+    x = jnp.where(mask, xy[:, 0], big)
+    y = jnp.where(mask, xy[:, 1], big)
+    dx = jnp.max(jnp.where(mask, xy[:, 0], -big)) - jnp.min(x)
+    dy = jnp.max(jnp.where(mask, xy[:, 1], -big)) - jnp.min(y)
+    return (dx > min_baseline_x) | (dy > min_baseline_y)
+
+
+# ---------------------------------------------------------------------------
+# main per-frame classification
+# ---------------------------------------------------------------------------
+
+
+def manage_tracks(
+    dims: TrackDims,
+    slots: TrackSlots,
+    matches: Matches,
+    q_list_old: jnp.ndarray,  # (M, 4) pre-slide cam attitudes... see note
+    q_cur: jnp.ndarray,  # (4,) current camera attitude (world<-cam)
+    min_track_length: int,
+    min_baseline_x: float,
+    min_baseline_y: float,
+    prev_pose_valid=True,
+):
+    """One frame of track bookkeeping.
+
+    ``q_list_old`` is the pre-slide window attitude list; the baseline
+    checks use [old slots 1..M-1] + current attitude, exactly the cropped
+    list the reference builds in preProcess (``vio_updater.cpp:145-152``).
+
+    Returns (new_slots, FrameTracks, slam_current_obs (N,2)).
+    """
+    n, m, k = dims.n_slam, dims.n_poses, dims.n_opp
+    dtype = slots.slam_obs.dtype
+
+    mid = jnp.where(matches.valid, matches.track_id, -2)
+
+    # post-slide attitude list for baseline checks (current pose at M-1)
+    q_list_new = jnp.concatenate([q_list_old[1:], q_cur[None]], axis=0)
+
+    # ---------------- SLAM tracks ----------------
+    slam_active = slots.slam_id >= 0
+    slam_hit = slots.slam_id[:, None] == mid[None, :]  # (N, J)
+    slam_found = slam_hit.any(axis=1) & slam_active
+    slam_match_idx = jnp.argmax(slam_hit, axis=1)
+    slam_new_pt = matches.cur_pt[slam_match_idx]
+
+    shift = lambda a: jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+    slam_obs_shift = shift(slots.slam_obs)
+    slam_mask_shift = shift(slots.slam_mask)
+    slam_obs_new = slam_obs_shift.at[:, m - 1].set(slam_new_pt)
+    slam_mask_new = slam_mask_shift.at[:, m - 1].set(True)
+
+    lost_slam = slam_active & ~slam_found
+    slam_obs2 = jnp.where(slam_found[:, None, None], slam_obs_new, slots.slam_obs)
+    slam_mask2 = jnp.where(slam_found[:, None], slam_mask_new, slots.slam_mask)
+    slam_len2 = slots.slam_length + slam_found.astype(jnp.int32)
+
+    consumed_by_slam = (slam_hit & slam_active[:, None]).any(axis=0)  # (J,)
+
+    # ---------------- opportunistic tracks ----------------
+    opp_active = slots.opp_id >= 0
+    opp_hit = (slots.opp_id[:, None] == mid[None, :]) & ~consumed_by_slam[None, :]
+    opp_found = opp_hit.any(axis=1) & opp_active
+    opp_match_idx = jnp.argmax(opp_hit, axis=1)
+    opp_new_pt = matches.cur_pt[opp_match_idx]
+
+    opp_dead = opp_active & ~opp_found  # pre-shift alignment preserved below
+
+    # short-MSCKF: dead tracks with >= 2 obs and baseline over the *old*
+    # cropped list (reference cam_rots_short = old slots 1..M-1). Their obs
+    # alignment is unchanged (last obs at old slot M-1).
+    short_baseline = jax.vmap(
+        lambda o, msk: check_baseline(
+            o, msk, q_list_old, m - 1, min_baseline_x, min_baseline_y
+        )
+    )(slots.opp_obs, slots.opp_mask)
+    short_cand = opp_dead & (slots.opp_length >= 2) & short_baseline
+    short_idx, short_valid = _select_budget(
+        short_cand, slots.opp_length.astype(dtype), dims.n_short
+    )
+    short_obs = slots.opp_obs[short_idx]
+    short_mask = slots.opp_mask[short_idx] & short_valid[:, None]
+
+    # live opp tracks: shift + append current obs
+    opp_obs_shift = shift(slots.opp_obs)
+    opp_mask_shift = shift(slots.opp_mask)
+    opp_obs2 = jnp.where(
+        opp_found[:, None, None],
+        opp_obs_shift.at[:, m - 1].set(opp_new_pt),
+        jnp.zeros_like(slots.opp_obs),
+    )
+    opp_mask2 = jnp.where(
+        opp_found[:, None], opp_mask_shift.at[:, m - 1].set(True), False
+    )
+    opp_id2 = jnp.where(opp_found, slots.opp_id, -1)
+    opp_len2 = jnp.where(opp_found, slots.opp_length + 1, 0)
+
+    # new opportunistic tracks from unconsumed matches
+    match_known = (
+        consumed_by_slam
+        | ((slots.opp_id[:, None] == mid[None, :]) & opp_active[:, None]).any(0)
+    )
+    is_new_match = matches.valid & ~match_known & (matches.track_id >= 0)
+    free_slot = ~opp_found  # dead or inactive slots are reusable
+    # rank new matches and free slots, pair them up
+    new_rank = jnp.cumsum(is_new_match) - 1  # (J,)
+    free_idx = jnp.argsort(~free_slot, stable=True)  # free slots first
+    n_free = jnp.sum(free_slot)
+    can_place = is_new_match & (new_rank < n_free)
+    target = free_idx[jnp.clip(new_rank, 0, k - 1)]  # (J,)
+
+    def place(opp_obs, opp_mask, opp_id, opp_len):
+        def body(carry, j):
+            obs, msk, ids, lens = carry
+            tgt = target[j]
+
+            def do(args):
+                obs, msk, ids, lens = args
+                obs = obs.at[tgt].set(jnp.zeros((m, 2), dtype))
+                obs = obs.at[tgt, m - 2].set(matches.prev_pt[j])
+                obs = obs.at[tgt, m - 1].set(matches.cur_pt[j])
+                msk = msk.at[tgt].set(jnp.zeros((m,), bool))
+                # the previous observation belongs to the pose at slot M-2 of
+                # the post-slide window; drop it if that pose isn't valid yet
+                msk = msk.at[tgt, m - 2].set(jnp.asarray(prev_pose_valid))
+                msk = msk.at[tgt, m - 1].set(True)
+                ids = ids.at[tgt].set(matches.track_id[j])
+                lens = lens.at[tgt].set(2)
+                return obs, msk, ids, lens
+
+            carry = jax.lax.cond(can_place[j], do, lambda a: a, (obs, msk, ids, lens))
+            return carry, None
+
+        (opp_obs, opp_mask, opp_id, opp_len), _ = jax.lax.scan(
+            body, (opp_obs, opp_mask, opp_id, opp_len), jnp.arange(matches.valid.shape[0])
+        )
+        return opp_obs, opp_mask, opp_id, opp_len
+
+    opp_obs2, opp_mask2, opp_id2, opp_len2 = place(opp_obs2, opp_mask2, opp_id2, opp_len2)
+    opp_active2 = opp_id2 >= 0
+
+    # ---------------- promotions ----------------
+    # baseline over the new window (current pose at M-1)
+    live_baseline = jax.vmap(
+        lambda o, msk: check_baseline(
+            o, msk, q_list_new, m - 1, min_baseline_x, min_baseline_y
+        )
+    )(opp_obs2, opp_mask2)
+
+    n_slam_free = n - jnp.sum(slam_active & ~lost_slam)  # slots after removals
+    long_enough = opp_active2 & (opp_len2 > min_track_length - 1)
+    # promote longest first into available SLAM budget
+    promo_rank_key = opp_len2.astype(dtype)
+    promo_idx, promo_valid = _select_budget(long_enough, promo_rank_key, dims.n_new_slam)
+    promo_valid = promo_valid & (jnp.arange(dims.n_new_slam) < n_slam_free)
+
+    new_obs = opp_obs2[promo_idx]
+    new_mask = opp_mask2[promo_idx] & promo_valid[:, None]
+    new_id = jnp.where(promo_valid, opp_id2[promo_idx], -1)
+    new_length = jnp.where(promo_valid, opp_len2[promo_idx], 0)
+    new_is_msckf = live_baseline[promo_idx] & promo_valid
+    # order: MSCKF-SLAM group first, then std, invalid last (state-insertion order)
+    order = jnp.argsort(
+        jnp.where(promo_valid, (~new_is_msckf).astype(jnp.int32), 2), stable=True
+    )
+    new_obs, new_mask = new_obs[order], new_mask[order]
+    new_id, new_length = new_id[order], new_length[order]
+    new_is_msckf = new_is_msckf[order]
+    new_valid = promo_valid[order]
+
+    promoted = jnp.zeros((k,), bool).at[promo_idx].set(promo_valid)
+
+    # MSCKF: remaining live tracks spanning the full window + baseline OK
+    # (reference: length > M-1 and not promotable)
+    msckf_cand = opp_active2 & ~promoted & (opp_len2 > m - 1) & live_baseline
+    msckf_idx, msckf_valid = _select_budget(
+        msckf_cand, opp_len2.astype(dtype), dims.n_msckf
+    )
+    msckf_obs = opp_obs2[msckf_idx]
+    msckf_mask = opp_mask2[msckf_idx] & msckf_valid[:, None]
+
+    consumed = promoted | (jnp.zeros((k,), bool).at[msckf_idx].set(msckf_valid))
+    opp_id3 = jnp.where(consumed, -1, opp_id2)
+    opp_mask3 = jnp.where(consumed[:, None], False, opp_mask2)
+    opp_len3 = jnp.where(consumed, 0, opp_len2)
+
+    new_slots = TrackSlots(
+        slam_obs=slam_obs2,
+        slam_mask=slam_mask2,
+        slam_id=slots.slam_id,  # lost slots removed by apply_compaction later
+        slam_length=slam_len2,
+        opp_obs=opp_obs2,
+        opp_mask=opp_mask3,
+        opp_id=opp_id3,
+        opp_length=opp_len3,
+    )
+    frame = FrameTracks(
+        slam_has_obs=slam_found,
+        lost_slam=lost_slam,
+        msckf_obs=msckf_obs,
+        msckf_mask=msckf_mask,
+        msckf_valid=msckf_valid,
+        short_obs=short_obs,
+        short_mask=short_mask,
+        short_valid=short_valid,
+        new_obs=new_obs,
+        new_mask=new_mask,
+        new_valid=new_valid,
+        new_is_msckf=new_is_msckf,
+        new_id=new_id,
+        new_length=new_length,
+    )
+    return new_slots, frame, slam_new_pt
+
+
+def apply_slam_compaction(slots: TrackSlots, perm: jnp.ndarray, n_keep) -> TrackSlots:
+    """Apply the lost-feature compaction permutation to SLAM track slots
+    (mirrors the feature-state/covariance excision in the state manager)."""
+    n = perm.shape[0]
+    keep = jnp.arange(n) < n_keep
+    return dataclasses.replace(
+        slots,
+        slam_obs=jnp.where(keep[:, None, None], slots.slam_obs[perm], 0.0),
+        slam_mask=jnp.where(keep[:, None], slots.slam_mask[perm], False),
+        slam_id=jnp.where(keep, slots.slam_id[perm], -1),
+        slam_length=jnp.where(keep, slots.slam_length[perm], 0),
+    )
+
+
+def insert_new_slam_tracks(
+    slots: TrackSlots,
+    frame: FrameTracks,
+    accepted: jnp.ndarray,  # (Kn,) new tracks actually initialized as features
+    n_features_before,  # traced: feature count before insertion
+) -> TrackSlots:
+    """Write accepted new-SLAM tracks into SLAM slots n_before, n_before+1…
+    in order (must match the feature-state insertion order)."""
+    kn = accepted.shape[0]
+    rank = jnp.cumsum(accepted) - 1
+    tgt = n_features_before + rank
+
+    def body(carry, i):
+        slam_obs, slam_mask, slam_id, slam_len = carry
+
+        def do(args):
+            so, sm, si, sl = args
+            t = tgt[i]
+            so = so.at[t].set(frame.new_obs[i])
+            sm = sm.at[t].set(frame.new_mask[i])
+            si = si.at[t].set(frame.new_id[i])
+            sl = sl.at[t].set(frame.new_length[i])
+            return so, sm, si, sl
+
+        carry = jax.lax.cond(accepted[i], do, lambda a: a, carry)
+        return carry, None
+
+    (so, sm, si, sl), _ = jax.lax.scan(
+        body,
+        (slots.slam_obs, slots.slam_mask, slots.slam_id, slots.slam_length),
+        jnp.arange(kn),
+    )
+    return dataclasses.replace(
+        slots, slam_obs=so, slam_mask=sm, slam_id=si, slam_length=sl
+    )

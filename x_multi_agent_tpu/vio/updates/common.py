@@ -62,8 +62,9 @@ def scatter_block(h: jnp.ndarray, block: jnp.ndarray, col) -> jnp.ndarray:
     traced) column offset ``col``."""
     import jax.lax as lax
 
-    cur = lax.dynamic_slice(h, (0, col), (h.shape[0], 3))
-    return lax.dynamic_update_slice(h, cur + block, (0, col))
+    idx = (jnp.int32(0), jnp.asarray(col, jnp.int32))
+    cur = lax.dynamic_slice(h, idx, (h.shape[0], 3))
+    return lax.dynamic_update_slice(h, cur + block, idx)
 
 
 def pose_pos_col(pose_idx, n_poses: int):

@@ -91,6 +91,7 @@ def build(
     n_features: int,
     max_iter: int = 10,
     term: float = 1e-5,
+    oc: bool = True,
 ):
     """Returns (UpdateRows with K*(2M-3) rows, MsckfTrackInfo)."""
     k, m, _ = obs.shape
@@ -106,7 +107,7 @@ def build(
         )
         g_p_f = triangulation.ivd_to_world(ivd, q_arr[anchor], p_arr[anchor])
         res, j_pos, j_att, hf, finite = _obs_jacobians(
-            g_p_f, obs_k, mask_k, q_arr, p_arr, g_vec, oc=True
+            g_p_f, obs_k, mask_k, q_arr, p_arr, g_vec, oc=oc
         )
         h_j = _assemble_h(j_pos, j_att, m, n_features, dtype)
         hf_flat = hf.reshape(2 * m, 3)

@@ -1,0 +1,237 @@
+"""Public VIO facade (behavioral spec: reference ``include/x/vio/vio.h``,
+``src/x/vio/vio.cpp``).
+
+A thin host-side shell around three jitted device programs:
+  * IMU path:   ekf.process_imu / process_imu_batch
+  * visual path: ekf.process_update_aux(visual_update)   (one fused program)
+  * init:       init_at_time
+
+The reference's mutexes between the IMU callback, the visual update and the
+multi-UAV update (``vio.cpp:249-254,510-516``) vanish: calls are sequenced
+program invocations on one device stream.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ekf import buffer as rb
+from ..ekf import ekf as ekf_mod
+from ..ekf.propagator import ImuNoise
+from ..ekf.state import CoreState, FilterState, StateDims, VisionState
+from ..ops import lie
+from . import pipeline
+from . import track_manager as tm
+
+
+class VioParams(NamedTuple):
+    """Full static parameter set (reference ``Params``, vio/types.h:33-189)."""
+
+    cfg: pipeline.VioConfig = pipeline.VioConfig()
+    g: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    imu_noise: ImuNoise = ImuNoise()
+    # initial std devs (reference sigma_dp/dv/dtheta[deg]/dbw[deg/s]/dba)
+    sigma_dp: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    sigma_dv: Tuple[float, float, float] = (0.05, 0.05, 0.05)
+    sigma_dtheta_deg: Tuple[float, float, float] = (3.0, 3.0, 3.0)
+    sigma_dbw_deg: Tuple[float, float, float] = (6.0, 6.0, 6.0)
+    sigma_dba: Tuple[float, float, float] = (0.3, 0.3, 0.3)
+    a_m_max: float = 50.0
+    time_margin: float = 0.02
+    max_update_lag: int = 64
+    self_init_samples: int = 50
+    dtype: str = "float32"
+
+    @property
+    def ekf_params(self) -> ekf_mod.EkfParams:
+        return ekf_mod.EkfParams(
+            dims=self.cfg.dims,
+            g=self.g,
+            imu_noise=self.imu_noise,
+            a_m_max=self.a_m_max,
+            time_margin=self.time_margin,
+            max_update_lag=self.max_update_lag,
+        )
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def make_initial_covariance(params: VioParams) -> jnp.ndarray:
+    """P0 = diag(sigma^2) on the core block (reference ``vio.cpp:66-95``);
+    pose/feature blocks start at zero (see state_manager.py deviation note)."""
+    dims = params.cfg.dims
+    deg = np.pi / 180.0
+    sig = np.concatenate(
+        [
+            np.asarray(params.sigma_dp),
+            np.asarray(params.sigma_dv),
+            np.asarray(params.sigma_dtheta_deg) * deg,
+            np.asarray(params.sigma_dbw_deg) * deg,
+            np.asarray(params.sigma_dba),
+            np.zeros(6 * dims.n_poses + 3 * dims.n_features),
+        ]
+    )
+    return jnp.asarray(np.diag(sig * sig), params.jdtype)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def init_at_time(
+    params: VioParams,
+    time,
+    p=None,
+    v=None,
+    q=None,
+    b_w=None,
+    b_a=None,
+) -> Tuple[FilterState, tm.TrackSlots]:
+    """Reference ``VIO::initAtTime`` (vio.cpp:54-111): zero vision state,
+    sigma-diagonal covariance, standby until first IMU."""
+    dt = params.jdtype
+    dims = params.cfg.dims
+    z3 = jnp.zeros(3, dt)
+    core = CoreState(
+        time=jnp.asarray(time, dt),
+        seq=jnp.asarray(0, jnp.int32),
+        p=z3 if p is None else jnp.asarray(p, dt),
+        v=z3 if v is None else jnp.asarray(v, dt),
+        q=lie.quat_identity(dt) if q is None else jnp.asarray(q, dt),
+        b_w=z3 if b_w is None else jnp.asarray(b_w, dt),
+        b_a=z3 if b_a is None else jnp.asarray(b_a, dt),
+        w_m=z3,
+        a_m=-jnp.asarray(params.g, dt),  # gravity reaction along +Z (vio.cpp:63)
+    )
+    fs = ekf_mod.init_from_state(
+        params.ekf_params, core, VisionState.zero(dims, dt),
+        make_initial_covariance(params),
+    )
+    return fs, tm.TrackSlots.zero(params.cfg.tracks, dt)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def process_matches(
+    params: VioParams,
+    fs: FilterState,
+    slots: tm.TrackSlots,
+    meas_time,
+    meas: pipeline.FrameMeasurement,
+):
+    """Visual update driven by a match list — the reference
+    ``VIO::processMatchesMeasurement`` path (vio.cpp:274-341), also used by
+    the image path once the tracker has produced matches."""
+
+    def update_fn(core, vision, cov, slots):
+        return pipeline.visual_update(params.cfg, core, vision, cov, slots, meas)
+
+    fs, slots, applied = ekf_mod.process_update_aux(
+        params.ekf_params, fs, meas_time, update_fn, slots
+    )
+    return fs, slots, applied
+
+
+class VIO:
+    """Stateful convenience wrapper (one agent). Mirrors the reference L4
+    facade; all compute is in the jitted functions above."""
+
+    def __init__(self, params: VioParams = VioParams(), self_init: bool = False):
+        self.params = params
+        self.fs: Optional[FilterState] = None
+        self.slots: Optional[tm.TrackSlots] = None
+        self._accel_batch = []
+        self._self_init = self_init
+        self._last_range = None
+        self._last_sun = None
+
+    # -- setup / init -------------------------------------------------------
+
+    def init_at_time(self, t: float, **kwargs):
+        self.fs, self.slots = init_at_time(self.params, t, **kwargs)
+
+    # -- IMU ----------------------------------------------------------------
+
+    def process_imu(self, t: float, seq: int, w_m, a_m):
+        """Reference ``VIO::processImu`` incl. the 50-sample gravity-aligned
+        self-init (vio.cpp:347-368)."""
+        if self._self_init:
+            self._accel_batch.append(np.asarray(a_m, float))
+            if len(self._accel_batch) <= self.params.self_init_samples:
+                return None
+            avg_a = np.mean(self._accel_batch, axis=0)
+            g_up = np.array([0.0, 0.0, np.linalg.norm(np.asarray(a_m, float))])
+            q0 = _quat_from_two_vectors(avg_a, g_up)
+            self.init_at_time(t, q=q0)
+            self._accel_batch.clear()
+            self._self_init = False
+            return None
+        self.fs = ekf_mod.process_imu(self.params.ekf_params, self.fs, t, seq, w_m, a_m)
+        return ekf_mod.tail_core(self.fs)
+
+    def process_imu_batch(self, times, seqs, w_ms, a_ms):
+        self.fs = ekf_mod.process_imu_batch(
+            self.params.ekf_params, self.fs, jnp.asarray(times), jnp.asarray(seqs),
+            jnp.asarray(w_ms), jnp.asarray(a_ms),
+        )
+        return ekf_mod.tail_core(self.fs)
+
+    # -- aux sensors ---------------------------------------------------------
+
+    def set_last_range_measurement(self, range_value: float, img_pt_n, feat_ids=(0, 1, 2)):
+        self._last_range = (range_value, np.asarray(img_pt_n), np.asarray(feat_ids))
+
+    def set_last_sun_angle_measurement(self, x_angle: float, y_angle: float):
+        self._last_sun = (x_angle, y_angle)
+
+    # -- visual updates -------------------------------------------------------
+
+    def process_matches_measurement(self, t: float, seq: int, matches: tm.Matches):
+        dt = self.params.jdtype
+        meas = pipeline.FrameMeasurement.from_matches(self.params.cfg, matches)
+        if self._last_range is not None:
+            rv, pt, ids = self._last_range
+            meas = meas._replace(
+                range_value=jnp.asarray(rv, dt),
+                range_img_pt=jnp.asarray(pt, dt),
+                range_active=jnp.asarray(True),
+                range_feat_ids=jnp.asarray(ids, jnp.int32),
+            )
+            self._last_range = None
+        if self._last_sun is not None:
+            meas = meas._replace(
+                sun_angles=jnp.asarray(self._last_sun, dt),
+                sun_active=jnp.asarray(True),
+            )
+            self._last_sun = None
+        self.fs, self.slots, applied = process_matches(
+            self.params, self.fs, self.slots, t, meas
+        )
+        return bool(applied)
+
+    # -- telemetry -------------------------------------------------------------
+
+    def tail_state(self) -> CoreState:
+        return ekf_mod.tail_core(self.fs)
+
+    def anchor_state(self) -> CoreState:
+        return rb.get_slot(self.fs.buffer, self.fs.anchor_buf_idx)
+
+
+def _quat_from_two_vectors(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Quaternion (xyzw) rotating a onto b (Eigen setFromTwoVectors)."""
+    a = a / np.linalg.norm(a)
+    b = b / np.linalg.norm(b)
+    c = np.cross(a, b)
+    w = 1.0 + a @ b
+    if w < 1e-9:  # antiparallel: pick any orthogonal axis
+        axis = np.cross(a, [1.0, 0.0, 0.0])
+        if np.linalg.norm(axis) < 1e-6:
+            axis = np.cross(a, [0.0, 1.0, 0.0])
+        axis /= np.linalg.norm(axis)
+        return np.array([axis[0], axis[1], axis[2], 0.0])
+    q = np.array([c[0], c[1], c[2], w])
+    return q / np.linalg.norm(q)
