@@ -1,0 +1,102 @@
+"""Collaborative (multi-UAV) fusion: GT_DEBUG-style SLAM-SLAM CI updates
+(config 4 of BASELINE.json: 2-agent, full-map exchange)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from x_multi_agent_tpu.ekf.state import StateDims
+from x_multi_agent_tpu.parallel import collab
+from x_multi_agent_tpu.place_recognition.gt_matching import match_landmarks
+from x_multi_agent_tpu.vio import pipeline, vio as vio_mod
+from x_multi_agent_tpu.vio import track_manager as tm
+from x_multi_agent_tpu.utils.sim import make_circle_sim
+
+DIMS = StateDims(n_poses=8, n_features=8, buffer_size=64)
+TRACKS = tm.TrackDims(
+    n_slam=8, n_poses=8, n_opp=40, n_matches=60, n_msckf=8, n_short=6, n_new_slam=8
+)
+CFG = pipeline.VioConfig(
+    dims=DIMS, tracks=TRACKS, sigma_img=2e-3, min_track_length=5,
+    msckf_baseline_x_n=0.01, msckf_baseline_y_n=0.01, obs_constrained=False,
+)
+PARAMS = vio_mod.VioParams(
+    cfg=CFG, dtype="float64", max_update_lag=32,
+    sigma_dv=(0.05, 0.05, 0.05), sigma_dtheta_deg=(1.0, 1.0, 1.0),
+    sigma_dbw_deg=(1.0, 1.0, 1.0), sigma_dba=(0.05, 0.05, 0.05),
+)
+CCFG = collab.CollabConfig(
+    sigma_landmark=0.02, ci_slam_w=0.5, gt_match_dist=0.6, match_budget=8
+)
+
+
+def test_gt_landmark_matching(rng):
+    lm = rng.normal(size=(8, 3)) * 3
+    own_valid = np.ones(8, bool)
+    other = lm + rng.normal(size=(8, 3)) * 0.01
+    # shuffle peer order
+    perm = rng.permutation(8)
+    own_idx, other_idx, valid = match_landmarks(
+        jnp.asarray(lm), jnp.asarray(own_valid), jnp.asarray(other[perm]),
+        jnp.asarray(np.ones(8, bool)), 0.3, 8,
+    )
+    assert bool(valid.all())
+    got_perm = np.empty(8, int)
+    got_perm[np.array(own_idx)] = np.array(other_idx)
+    np.testing.assert_array_equal(perm[got_perm], np.arange(8))
+
+
+def run_agent(offset, sigma_dp, duration=3.0, seed=1):
+    sim = make_circle_sim(
+        duration=duration, imu_rate=100.0, cam_rate=10.0, n_landmarks=30,
+        match_budget=TRACKS.n_matches, pixel_noise=5e-4, seed=seed,
+    )
+    params = PARAMS._replace(sigma_dp=(sigma_dp,) * 3)
+    v = vio_mod.VIO(params)
+    v.init_at_time(0.0, p=np.asarray(offset), v=np.array([1.8, 0.0, 0.0]))
+    imu_i = 0
+    for f, t_cam in enumerate(sim.cam_t):
+        while imu_i < len(sim.imu_t) and sim.imu_t[imu_i] <= t_cam + 1e-9:
+            v.process_imu(sim.imu_t[imu_i], imu_i, sim.imu_w[imu_i], sim.imu_a[imu_i])
+            imu_i += 1
+        matches = tm.Matches(
+            track_id=jnp.asarray(sim.match_id[f]),
+            prev_pt=jnp.asarray(sim.match_prev[f]),
+            cur_pt=jnp.asarray(sim.match_cur[f]),
+            valid=jnp.asarray(sim.match_valid[f]),
+        )
+        v.process_matches_measurement(t_cam, f, matches)
+    return v, sim
+
+
+@pytest.mark.slow
+def test_two_agent_ci_fusion_reduces_offset():
+    # agent A: well-initialized; agent B: 0.25 m position offset with a
+    # loose prior (its covariance knows). Both observe the same landmarks.
+    va, sim = run_agent((0.0, 0.0, 0.0), 1e-3)
+    vb, _ = run_agent((0.25, 0.0, 0.0), 0.5)
+
+    t_end = sim.cam_t[-1]
+    true_p = sim.cam_p[-1]
+
+    def pos_err(v):
+        tail = v.tail_state()
+        return np.linalg.norm(np.array(tail.p) - true_p)
+
+    err_b_before = pos_err(vb)
+    assert err_b_before > 0.1  # offset persists (gauge unobservable alone)
+
+    fs_stack = jax.tree.map(lambda x, y: jnp.stack([x, y]), va.fs, vb.fs)
+    fs_stack, n_matches = collab.collaborative_round_jit(PARAMS, CCFG, fs_stack)
+    n_cross = int(np.array(n_matches).sum())
+    assert n_cross > 0, "no cross-agent landmark matches found"
+
+    vb.fs = jax.tree.map(lambda x: x[1], fs_stack)
+    err_b_after = pos_err(vb)
+    assert err_b_after < 0.6 * err_b_before, (
+        f"CI fusion did not reduce agent B error: {err_b_before:.3f} -> "
+        f"{err_b_after:.3f} ({n_cross} matches)"
+    )
+    # agent A must not be dragged away
+    va.fs = jax.tree.map(lambda x: x[0], fs_stack)
+    assert pos_err(va) < 0.1

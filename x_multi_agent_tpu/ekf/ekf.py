@@ -96,8 +96,7 @@ def _advance_anchor_one(params: EkfParams, fs: FilterState) -> FilterState:
 import functools
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def process_imu(params: EkfParams, fs: FilterState, t, seq, w_m, a_m) -> FilterState:
+def process_imu_impl(params: EkfParams, fs: FilterState, t, seq, w_m, a_m) -> FilterState:
     """One IMU sample: spike filter, enqueue, propagate core state."""
     t = jnp.asarray(t, fs.cov.dtype)
     w_m = jnp.asarray(w_m, fs.cov.dtype)
@@ -115,7 +114,9 @@ def process_imu(params: EkfParams, fs: FilterState, t, seq, w_m, a_m) -> FilterS
             tail, time=t, seq=jnp.asarray(seq, jnp.int32), w_m=w_m, a_m=a_use
         )
         buf = rb.set_slot(fs.buffer, fs.head, core)
-        return dataclasses.replace(fs, buffer=buf, status=jnp.asarray(2, jnp.int32))
+        # derive the new status from the old one so it keeps the same
+        # varying-manual-axes type under shard_map
+        return dataclasses.replace(fs, buffer=buf, status=fs.status * 0 + 2)
 
     def propagate(fs):
         new_core = propagate_mean(tail, t, seq, w_m, a_use, params.g_vec.astype(t.dtype))
@@ -142,18 +143,21 @@ def process_imu(params: EkfParams, fs: FilterState, t, seq, w_m, a_m) -> FilterS
     return jax.lax.switch(fs.status, [ignore, standby, propagate], fs)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def process_imu_batch(
+def process_imu_batch_impl(
     params: EkfParams, fs: FilterState, times, seqs, w_ms, a_ms
 ) -> FilterState:
     """Scan a batch of IMU samples (the high-throughput entry point)."""
 
     def body(fs, sample):
         t, seq, w, a = sample
-        return process_imu(params, fs, t, seq, w, a), None
+        return process_imu_impl(params, fs, t, seq, w, a), None
 
     fs, _ = jax.lax.scan(body, fs, (times, seqs, w_ms, a_ms))
     return fs
+
+
+process_imu = jax.jit(process_imu_impl, static_argnums=0)
+process_imu_batch = jax.jit(process_imu_batch_impl, static_argnums=0)
 
 
 # ---------------------------------------------------------------------------
@@ -221,8 +225,7 @@ def _repropagate_tail(params: EkfParams, fs: FilterState, idx) -> FilterState:
     return dataclasses.replace(fs, buffer=buf)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def process_update_aux(
+def process_update_aux_impl(
     params: EkfParams, fs: FilterState, meas_time, update_fn, aux
 ):
     """Like :func:`process_update` but threads an auxiliary pytree (e.g.
@@ -253,6 +256,9 @@ def process_update_aux(
 
     fs, aux = jax.lax.cond(in_window, do_update, lambda a: a, (fs, aux))
     return fs, aux, in_window
+
+
+process_update_aux = jax.jit(process_update_aux_impl, static_argnums=(0, 3))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))

@@ -30,7 +30,7 @@ def make_agent_mesh(devices=None, name: str = "agents") -> Mesh:
     return Mesh(np.asarray(devices), (name,))
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def init_agents(params: vio_mod.VioParams, n_agents: int):
     """Stacked (FilterState, TrackSlots) for n_agents (leading agent dim)."""
     fs, slots = vio_mod.init_at_time(params, 0.0)
@@ -46,14 +46,14 @@ def agent_step_fn(params: vio_mod.VioParams):
     """
 
     def one_agent(fs, slots, imu_times, imu_seqs, imu_w, imu_a, meas_time, meas):
-        fs = ekf_mod.process_imu_batch(
+        fs = ekf_mod.process_imu_batch_impl(
             params.ekf_params, fs, imu_times, imu_seqs, imu_w, imu_a
         )
 
         def update_fn(core, vision, cov, slots):
             return pipeline.visual_update(params.cfg, core, vision, cov, slots, meas)
 
-        fs, slots, applied = ekf_mod.process_update_aux(
+        fs, slots, applied = ekf_mod.process_update_aux_impl(
             params.ekf_params, fs, meas_time, update_fn, slots
         )
         return fs, slots, applied
@@ -75,6 +75,10 @@ def sharded_step(params: vio_mod.VioParams, mesh: Mesh):
         mesh=mesh,
         in_specs=(aspec,) * 8,
         out_specs=(aspec, aspec, aspec),
+        # purely data-parallel step (no cross-agent collectives yet);
+        # vma checking currently mis-infers through the nested
+        # vmap+scan+switch in the IMU path
+        check_vma=False,
     )
     def _step(fs, slots, imu_times, imu_seqs, imu_w, imu_a, meas_time, meas):
         return step(fs, slots, imu_times, imu_seqs, imu_w, imu_a, meas_time, meas)

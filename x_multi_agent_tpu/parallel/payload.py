@@ -1,0 +1,77 @@
+"""Inter-agent exchange payloads.
+
+Behavioral spec: reference ``SimpleState`` (``ekf/simple_state.h``) and the
+outbound protocol of ``VIO::getDataToSend`` (``vio.cpp:440-451``): dynamic
+state, camera position/orientation windows, inverse-depth features,
+covariance and anchor indices. Keyframes (``place_recognition/keyframe.h``)
+add track descriptors + a VLAD vector for the request-response path.
+
+All agents share the same static dims, so a payload is one fixed-shape
+pytree; the exchange is an all_gather over the agents mesh axis instead of
+request-response messaging.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ekf.state import StateDims, VisionState
+from ..ops import lie
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_pytree_dataclass
+class AgentPayload:
+    """One agent's broadcastable state snapshot (reference SimpleState)."""
+
+    time: jnp.ndarray  # scalar: snapshot time
+    p_arr: jnp.ndarray  # (M, 3) camera positions (world)
+    q_arr: jnp.ndarray  # (M, 4) camera attitudes
+    f_arr: jnp.ndarray  # (N, 3) inverse-depth features
+    anchor_idx: jnp.ndarray  # (N,)
+    cov: jnp.ndarray  # (D, D)
+    n_valid_poses: jnp.ndarray  # int32
+    n_valid_features: jnp.ndarray  # int32
+    landmarks: jnp.ndarray  # (N, 3) SLAM features in world coords (GT_DEBUG
+    # matching + convenience; reference computes them on demand,
+    # state_manager.cpp:232-271)
+    landmark_valid: jnp.ndarray  # (N,)
+
+
+def slam_landmarks_world(dims: StateDims, vision: VisionState):
+    """World positions of active SLAM features (reference
+    ``computeSLAMCartesianFeaturesForState``)."""
+    n = dims.n_features
+
+    def one(f, a):
+        rho = jnp.where(jnp.abs(f[2]) > 1e-12, f[2], 1.0)
+        bearing = jnp.stack([f[0], f[1], jnp.ones((), f.dtype)])
+        a_safe = jnp.maximum(a, 0)
+        return lie.quat_to_rot(vision.q_arr[a_safe]) @ bearing / rho + vision.p_arr[a_safe]
+
+    lms = jax.vmap(one)(vision.f_arr, vision.anchor_idx)
+    valid = (jnp.arange(n) < vision.n_valid_features) & (vision.anchor_idx >= 0)
+    return lms, valid
+
+
+def make_payload(dims: StateDims, time, vision: VisionState, cov) -> AgentPayload:
+    lms, valid = slam_landmarks_world(dims, vision)
+    return AgentPayload(
+        time=jnp.asarray(time, cov.dtype),
+        p_arr=vision.p_arr,
+        q_arr=vision.q_arr,
+        f_arr=vision.f_arr,
+        anchor_idx=vision.anchor_idx,
+        cov=cov,
+        n_valid_poses=vision.n_valid_poses,
+        n_valid_features=vision.n_valid_features,
+        landmarks=lms,
+        landmark_valid=valid,
+    )

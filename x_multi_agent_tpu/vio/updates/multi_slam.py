@@ -1,0 +1,138 @@
+"""Cross-agent SLAM-SLAM update with covariance intersection.
+
+Behavioral spec: reference ``src/x/vio/multi_slam_update.cpp`` +
+``Updater::applyCI`` (``updater.cpp:144-161``): for each matched pair of
+SLAM landmarks (own feature j, peer feature j'):
+  residual = other_G_p_f - G_p_f           (3-dof landmark difference)
+  own Jacobian wrt (anchor pos, anchor att, feature ivd)
+  peer Jacobian likewise (negated)
+  chi2(3, 0.90) gate
+  pairwise CI: S = 1/(1-w) H P H^T + 1/w H' P' H'^T + var*I ; own anchor +
+  feature diagonal blocks inflated by w_result = 1/(1-w)
+  sequential applyCI per match (each updates the covariance).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ekf import ci as ci_mod
+from ...ekf.state import StateDims, VisionState, correct_core, correct_vision
+from ...ops import lie
+from ...utils.chi2 import chi2_gate
+
+
+def _landmark_jac_blocks(f, q_a, dtype):
+    """(J_anchor_pos, J_anchor_att, Hf) of d(G_p_f)/d(anchor, ivd)."""
+    alpha, beta, rho = f[0], f[1], f[2]
+    rho_s = jnp.where(jnp.abs(rho) > 1e-12, rho, 1.0)
+    bear = jnp.stack([alpha, beta, jnp.ones((), dtype)])
+    r_wa = lie.quat_to_rot(q_a)
+    j_pos = jnp.eye(3, dtype=dtype)
+    j_att = -(1.0 / rho_s) * r_wa @ lie.skew(bear)
+    mat = jnp.eye(3, dtype=dtype)
+    mat = mat.at[0, 2].set(-alpha / rho_s)
+    mat = mat.at[1, 2].set(-beta / rho_s)
+    mat = mat.at[2, 2].set(-1.0 / rho_s)
+    hf = (1.0 / rho_s) * r_wa @ mat
+    return j_pos, j_att, hf
+
+
+def _scatter_rows(d, m, anchor, feat_id, j_pos, j_att, hf, dtype):
+    h = jnp.zeros((3, d), dtype)
+
+    def put(h, blk, col):
+        idx = (jnp.int32(0), jnp.asarray(col, jnp.int32))
+        cur = jax.lax.dynamic_slice(h, idx, (3, 3))
+        return jax.lax.dynamic_update_slice(h, cur + blk, idx)
+
+    h = put(h, j_pos, 15 + 3 * anchor)
+    h = put(h, j_att, 15 + 3 * m + 3 * anchor)
+    h = put(h, hf, 15 + 6 * m + 3 * feat_id)
+    return h
+
+
+def apply_matches(
+    dims: StateDims,
+    core,
+    vision: VisionState,
+    cov: jnp.ndarray,
+    other_p_arr: jnp.ndarray,
+    other_q_arr: jnp.ndarray,
+    other_f_arr: jnp.ndarray,
+    other_anchor: jnp.ndarray,
+    other_cov: jnp.ndarray,
+    own_fid: jnp.ndarray,  # (K,) matched own feature slots
+    other_fid: jnp.ndarray,  # (K,) matched peer feature slots
+    match_valid: jnp.ndarray,  # (K,)
+    sigma_landmark: float,
+    ci_slam_w: float,
+):
+    """Sequentially apply K (masked) SLAM-SLAM CI updates.
+
+    Returns (core, vision, cov, n_applied).
+    """
+    m = dims.n_poses
+    d = dims.d
+    dtype = cov.dtype
+    var_lm = sigma_landmark * sigma_landmark
+    k = own_fid.shape[0]
+
+    def body(carry, i):
+        core, vision, cov, n_app = carry
+        fid = own_fid[i]
+        ofid = other_fid[i]
+
+        f = vision.f_arr[fid]
+        a_idx = jnp.maximum(vision.anchor_idx[fid], 0)
+        of = other_f_arr[ofid]
+        oa_idx = jnp.maximum(other_anchor[ofid], 0)
+
+        rho_s = jnp.where(jnp.abs(f[2]) > 1e-12, f[2], 1.0)
+        orho_s = jnp.where(jnp.abs(of[2]) > 1e-12, of[2], 1.0)
+        bear = jnp.stack([f[0], f[1], jnp.ones((), dtype)])
+        obear = jnp.stack([of[0], of[1], jnp.ones((), dtype)])
+        g_p_f = lie.quat_to_rot(vision.q_arr[a_idx]) @ bear / rho_s + vision.p_arr[a_idx]
+        og_p_f = (
+            lie.quat_to_rot(other_q_arr[oa_idx]) @ obear / orho_s + other_p_arr[oa_idx]
+        )
+        res = og_p_f - g_p_f  # multi_slam_update.cpp:130
+
+        j_pos, j_att, hf = _landmark_jac_blocks(f, vision.q_arr[a_idx], dtype)
+        h = _scatter_rows(d, m, a_idx, fid, j_pos, j_att, hf, dtype)
+        oj_pos, oj_att, ohf = _landmark_jac_blocks(of, other_q_arr[oa_idx], dtype)
+        oh = _scatter_rows(d, m, oa_idx, ofid, -oj_pos, -oj_att, -ohf, dtype)
+
+        # chi2(3, 0.90) gate on the joint innovation
+        s_gate = h @ cov @ h.T + oh @ other_cov @ oh.T + var_lm * jnp.eye(3, dtype=dtype)
+        gamma = res @ jnp.linalg.solve(s_gate, res)
+        ok = (
+            match_valid[i]
+            & chi2_gate(gamma, jnp.asarray(3), 0.90, 4)
+            & jnp.isfinite(res).all()
+        )
+
+        def do(args):
+            core, vision, cov = args
+            s, w_result = ci_mod.fuse_pairwise(cov, h, other_cov, oh, ci_slam_w)
+            s = s + var_lm * jnp.eye(3, dtype=dtype)
+            # inflate own anchor + feature diagonal blocks (multi_slam_update.cpp:224-237)
+            ci_p = cov
+            for col in (15 + 3 * a_idx, 15 + 3 * m + 3 * a_idx, 15 + 6 * m + 3 * fid):
+                idx = (jnp.asarray(col, jnp.int32), jnp.asarray(col, jnp.int32))
+                blk = jax.lax.dynamic_slice(ci_p, idx, (3, 3))
+                ci_p = jax.lax.dynamic_update_slice(ci_p, blk * w_result, idx)
+            corr, cov1 = ci_mod.apply_ci(cov, ci_p, h, res, s)
+            core1 = correct_core(core, corr)
+            vision1 = correct_vision(vision, corr, dims)
+            return core1, vision1, cov1
+
+        core, vision, cov = jax.lax.cond(ok, do, lambda a: a, (core, vision, cov))
+        return (core, vision, cov, n_app + ok.astype(jnp.int32)), None
+
+    (core, vision, cov, n_app), _ = jax.lax.scan(
+        body, (core, vision, cov, jnp.asarray(0, jnp.int32)), jnp.arange(k)
+    )
+    return core, vision, cov, n_app
