@@ -208,20 +208,24 @@ def step_transition(core_0: CoreState, core_1: CoreState, noise: ImuNoise):
 
 
 def compound_transitions(f_d_steps: jnp.ndarray, q_d_steps: jnp.ndarray):
-    """Compound per-step (F, Q) into a single (Phi, Q_acc) via scan.
+    """Compound per-step (F, Q) into a single (Phi, Q_acc).
 
     Phi_k = F_k ... F_1 ;  Q_k = F_k Q_{k-1} F_k^T + Q_d_k.
+
+    The compounding law is associative:
+      (F2, Q2) ∘ (F1, Q1) = (F2 F1, F2 Q1 F2^T + Q2)
+    so we use an associative scan (log-depth batched matmuls) instead of a
+    sequential loop.
     """
 
-    def body(carry, fq):
-        phi, q_acc = carry
-        f, q = fq
-        return (f @ phi, f @ q_acc @ f.T + q), None
+    def combine(a, b):
+        """b ∘ a where a happens first."""
+        fa, qa = a
+        fb, qb = b
+        return fb @ fa, fb @ qa @ jnp.swapaxes(fb, -1, -2) + qb
 
-    dtype = f_d_steps.dtype
-    init = (jnp.eye(15, dtype=dtype), jnp.zeros((15, 15), dtype=dtype))
-    (phi, q_acc), _ = jax.lax.scan(body, init, (f_d_steps, q_d_steps))
-    return phi, q_acc
+    fs, qs = jax.lax.associative_scan(combine, (f_d_steps, q_d_steps))
+    return fs[-1], qs[-1]
 
 
 def propagate_covariance(cov: jnp.ndarray, phi: jnp.ndarray, q_acc: jnp.ndarray):

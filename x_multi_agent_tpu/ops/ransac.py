@@ -1,0 +1,99 @@
+"""Batched RANSAC for epipolar outlier rejection.
+
+Behavioral spec: reference ``cv::findFundamentalMat(..., RANSAC,
+outlier_param1, outlier_param2)`` used for match outlier rejection
+(``tracker.cpp:243-272``) and ``cv::findEssentialMat`` geometric
+verification in place recognition (``place_recognition.cpp:269-283``).
+
+TPU design: hypothesis generation is a fixed batch of normalized 8-point
+solves (batched SVD), inlier voting is one (S x N) Sampson-distance
+matrix — all MXU/VPU work, no data-dependent iteration.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _normalize_pts(pts: jnp.ndarray, mask: jnp.ndarray):
+    """Hartley normalization (centroid 0, RMS distance sqrt(2))."""
+    w = mask.astype(pts.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(pts * w[:, None], axis=0) / n
+    d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1))
+    scale = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(d * w) / n, 1e-9)
+    t = jnp.array(
+        [
+            [scale, 0.0, -scale * mean[0]],
+            [0.0, scale, -scale * mean[1]],
+            [0.0, 0.0, 1.0],
+        ],
+        pts.dtype,
+    )
+    return (pts - mean) * scale, t
+
+
+def _eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """F from 8 correspondences (already normalized); (8,2),(8,2) -> (3,3)."""
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    ones = jnp.ones_like(x1)
+    a = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=1
+    )  # (8, 9)
+    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
+    f = vt[-1].reshape(3, 3)
+    # enforce rank 2
+    u, s, vt2 = jnp.linalg.svd(f)
+    s = s.at[2].set(0.0)
+    return u @ jnp.diag(s) @ vt2
+
+
+def sampson_dist(f: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Sampson distance of correspondences under F; (N,2),(N,2) -> (N,)."""
+    ones = jnp.ones(p1.shape[:-1] + (1,), p1.dtype)
+    x1 = jnp.concatenate([p1, ones], axis=-1)
+    x2 = jnp.concatenate([p2, ones], axis=-1)
+    fx1 = x1 @ f.T  # (N, 3) = F @ x1
+    ftx2 = x2 @ f  # (N, 3) = F^T @ x2
+    num = jnp.sum(x2 * fx1, axis=-1) ** 2
+    den = fx1[..., 0] ** 2 + fx1[..., 1] ** 2 + ftx2[..., 0] ** 2 + ftx2[..., 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def fundamental_ransac(
+    pts1: jnp.ndarray,  # (N, 2)
+    pts2: jnp.ndarray,  # (N, 2)
+    mask: jnp.ndarray,  # (N,)
+    key: jnp.ndarray,
+    threshold: float,
+    n_hypotheses: int = 200,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (inlier_mask (N,), best F). Degenerate inputs (too few valid
+    matches) return the input mask unchanged."""
+    n = pts1.shape[0]
+    p1n, t1 = _normalize_pts(pts1, mask)
+    p2n, t2 = _normalize_pts(pts2, mask)
+
+    # sample valid indices (with replacement, biased to valid entries)
+    probs = mask.astype(pts1.dtype)
+    probs = probs / jnp.maximum(probs.sum(), 1.0)
+    idx = jax.random.categorical(
+        key, jnp.log(jnp.maximum(probs, 1e-30)), shape=(n_hypotheses, 8)
+    )
+
+    f_all = jax.vmap(lambda i: _eight_point(p1n[i], p2n[i]))(idx)  # (S,3,3)
+    # threshold is in *pixel* units; normalize per image-1 scale
+    thr_n = threshold * t1[0, 0]
+    d = jax.vmap(lambda f: sampson_dist(f, p1n, p2n))(f_all)  # (S, N)
+    votes = jnp.sum((d < thr_n * thr_n) & mask[None, :], axis=1)
+    best = jnp.argmax(votes)
+    f_best_n = f_all[best]
+    inliers = (d[best] < thr_n * thr_n) & mask
+
+    enough = jnp.sum(mask) >= 8
+    inliers = jnp.where(enough, inliers, mask)
+    f_best = t2.T @ f_best_n @ t1
+    return inliers, f_best

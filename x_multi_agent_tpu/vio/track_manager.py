@@ -286,30 +286,29 @@ def manage_tracks(
     target = free_idx[jnp.clip(new_rank, 0, k - 1)]  # (J,)
 
     def place(opp_obs, opp_mask, opp_id, opp_len):
-        def body(carry, j):
-            obs, msk, ids, lens = carry
-            tgt = target[j]
+        # vectorized scatter: each placeable match gets a distinct free slot
+        # (targets are free_idx[rank] with distinct ranks); non-placeable
+        # matches are dumped into a sacrificial extra row.
+        jm = matches.valid.shape[0]
+        tgt = jnp.where(can_place, target, k)  # k = dump row
 
-            def do(args):
-                obs, msk, ids, lens = args
-                obs = obs.at[tgt].set(jnp.zeros((m, 2), dtype))
-                obs = obs.at[tgt, m - 2].set(matches.prev_pt[j])
-                obs = obs.at[tgt, m - 1].set(matches.cur_pt[j])
-                msk = msk.at[tgt].set(jnp.zeros((m,), bool))
-                # the previous observation belongs to the pose at slot M-2 of
-                # the post-slide window; drop it if that pose isn't valid yet
-                msk = msk.at[tgt, m - 2].set(jnp.asarray(prev_pose_valid))
-                msk = msk.at[tgt, m - 1].set(True)
-                ids = ids.at[tgt].set(matches.track_id[j])
-                lens = lens.at[tgt].set(2)
-                return obs, msk, ids, lens
+        new_obs = jnp.zeros((jm, m, 2), dtype)
+        new_obs = new_obs.at[:, m - 2].set(matches.prev_pt)
+        new_obs = new_obs.at[:, m - 1].set(matches.cur_pt)
+        new_msk = jnp.zeros((jm, m), bool)
+        # the previous observation belongs to the pose at slot M-2 of the
+        # post-slide window; drop it if that pose isn't valid yet
+        new_msk = new_msk.at[:, m - 2].set(jnp.asarray(prev_pose_valid))
+        new_msk = new_msk.at[:, m - 1].set(True)
 
-            carry = jax.lax.cond(can_place[j], do, lambda a: a, (obs, msk, ids, lens))
-            return carry, None
+        def scat(base, rows):
+            padded = jnp.concatenate([base, jnp.zeros_like(base[:1])], axis=0)
+            return padded.at[tgt].set(rows)[:k]
 
-        (opp_obs, opp_mask, opp_id, opp_len), _ = jax.lax.scan(
-            body, (opp_obs, opp_mask, opp_id, opp_len), jnp.arange(matches.valid.shape[0])
-        )
+        opp_obs = scat(opp_obs, new_obs)
+        opp_mask = scat(opp_mask, new_msk)
+        opp_id = scat(opp_id, matches.track_id)
+        opp_len = scat(opp_len, jnp.full((jm,), 2, opp_len.dtype))
         return opp_obs, opp_mask, opp_id, opp_len
 
     opp_obs2, opp_mask2, opp_id2, opp_len2 = place(opp_obs2, opp_mask2, opp_id2, opp_len2)
@@ -411,30 +410,18 @@ def insert_new_slam_tracks(
 ) -> TrackSlots:
     """Write accepted new-SLAM tracks into SLAM slots n_before, n_before+1…
     in order (must match the feature-state insertion order)."""
-    kn = accepted.shape[0]
+    n = slots.slam_id.shape[0]
     rank = jnp.cumsum(accepted) - 1
-    tgt = n_features_before + rank
+    tgt = jnp.where(accepted, n_features_before + rank, n)  # n = dump row
 
-    def body(carry, i):
-        slam_obs, slam_mask, slam_id, slam_len = carry
+    def scat(base, rows):
+        padded = jnp.concatenate([base, jnp.zeros_like(base[:1])], axis=0)
+        return padded.at[tgt].set(rows)[:n]
 
-        def do(args):
-            so, sm, si, sl = args
-            t = tgt[i]
-            so = so.at[t].set(frame.new_obs[i])
-            sm = sm.at[t].set(frame.new_mask[i])
-            si = si.at[t].set(frame.new_id[i])
-            sl = sl.at[t].set(frame.new_length[i])
-            return so, sm, si, sl
-
-        carry = jax.lax.cond(accepted[i], do, lambda a: a, carry)
-        return carry, None
-
-    (so, sm, si, sl), _ = jax.lax.scan(
-        body,
-        (slots.slam_obs, slots.slam_mask, slots.slam_id, slots.slam_length),
-        jnp.arange(kn),
-    )
     return dataclasses.replace(
-        slots, slam_obs=so, slam_mask=sm, slam_id=si, slam_length=sl
+        slots,
+        slam_obs=scat(slots.slam_obs, frame.new_obs),
+        slam_mask=scat(slots.slam_mask, frame.new_mask),
+        slam_id=scat(slots.slam_id, frame.new_id),
+        slam_length=scat(slots.slam_length, frame.new_length),
     )

@@ -187,6 +187,43 @@ class VIO:
     def set_last_sun_angle_measurement(self, x_angle: float, y_angle: float):
         self._last_sun = (x_angle, y_angle)
 
+    # -- image path ----------------------------------------------------------
+
+    def setup_tracker(self, tracker_params, camera, img_height: int, img_width: int):
+        """Attach the vision front-end (reference ``VIO::setUp`` tracker
+        construction, vio.cpp:140-158)."""
+        from ..vision import tracker as trk_mod
+
+        self._tracker_params = tracker_params
+        self._camera = camera
+        self._tracker_state = trk_mod.TrackerState.zero(
+            tracker_params, img_height, img_width, self.params.jdtype
+        )
+
+    def process_image_measurement(self, t: float, seq: int, img):
+        """Track features in the image, then run the visual update
+        (reference ``VIO::processImageMeasurement``, vio.cpp:226-272)."""
+        from ..vision import tracker as trk_mod
+
+        self._tracker_state, matches = trk_mod.track_frame_jit(
+            self._tracker_params, self._camera, self._tracker_state,
+            jnp.asarray(img, self.params.jdtype),
+        )
+        # pad/crop the tracker's match budget to the pipeline's budget
+        jm = self.params.cfg.tracks.n_matches
+        jt = matches.valid.shape[0]
+        if jt < jm:
+            pad = jm - jt
+            matches = tm.Matches(
+                track_id=jnp.pad(matches.track_id, (0, pad), constant_values=-1),
+                prev_pt=jnp.pad(matches.prev_pt, ((0, pad), (0, 0))),
+                cur_pt=jnp.pad(matches.cur_pt, ((0, pad), (0, 0))),
+                valid=jnp.pad(matches.valid, (0, pad)),
+            )
+        elif jt > jm:
+            matches = jax.tree.map(lambda x: x[:jm], matches)
+        return self.process_matches_measurement(t, seq, matches)
+
     # -- visual updates -------------------------------------------------------
 
     def process_matches_measurement(self, t: float, seq: int, matches: tm.Matches):

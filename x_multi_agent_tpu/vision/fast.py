@@ -32,7 +32,8 @@ def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     Border pixels (3 px) score 0.
     """
     h, w = img.shape
-    img = img.astype(jnp.float32)
+    if not jnp.issubdtype(img.dtype, jnp.floating):
+        img = img.astype(jnp.float32)
     diffs = [jnp.roll(img, (-dy, -dx), axis=(0, 1)) - img for (dy, dx) in CIRCLE]
     diffs = jnp.stack(diffs)  # (16, H, W): circle pixel minus center
 

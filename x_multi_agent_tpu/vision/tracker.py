@@ -1,0 +1,197 @@
+"""Detect-track front-end (behavioral spec: reference
+``src/x/vision/tracker.cpp``).
+
+Per frame (``Tracker::track``, tracker.cpp:134-294):
+  build pyramid -> pyramidal LK on existing features -> fundamental-matrix
+  RANSAC outlier rejection -> (re)detect FAST features when below
+  n_feat_min, suppressing neighborhoods of tracked features -> emit
+  matches.
+
+Fixed-shape redesign: features live in a fixed slot array with stable ids
+(ids replace the reference's feature-equality match association); every
+step is a masked tensor op; the whole frame is one jitted program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..vio.track_manager import Matches
+from . import camera as cam_mod
+from . import fast, lk
+from .image import build_pyramid
+
+
+class TrackerParams(NamedTuple):
+    budget: int = 200  # feature slots == match budget
+    fast_threshold: float = 9.0  # fast_detection_delta
+    non_max_supp: bool = True
+    block_half_length: int = 20  # suppression neighborhood around tracks
+    margin: int = 20  # detection border margin
+    n_feat_min: int = 80  # re-detect below this count
+    n_tiles_h: int = 4
+    n_tiles_w: int = 4
+    max_feat_per_tile: int = 40
+    pyramid_depth: int = 1  # reference default pyramid_depth_=1
+    win_half: int = 10  # LK window half-size ((2*10+1)^2 ~ win_size 21)
+    lk_iters: int = 10
+    lk_max_level: int = 2
+    min_eig_thr: float = 1e-4
+    ransac_threshold_px: float = 0.3  # outlier_param1
+    ransac_hypotheses: int = 200
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_pytree_dataclass
+class TrackerState:
+    pts: jnp.ndarray  # (F, 2) pixel coords (distorted) in the *last* frame
+    ids: jnp.ndarray  # (F,) int32, -1 = free slot
+    scores: jnp.ndarray  # (F,) FAST score at detection
+    next_id: jnp.ndarray  # int32
+    prev_img: jnp.ndarray  # (H, W) last frame (pyramid rebuilt per call)
+    has_prev: jnp.ndarray  # bool
+
+    @staticmethod
+    def zero(params: TrackerParams, h: int, w: int, dtype=jnp.float32):
+        f = params.budget
+        return TrackerState(
+            pts=jnp.zeros((f, 2), dtype),
+            ids=jnp.full((f,), -1, jnp.int32),
+            scores=jnp.zeros((f,), dtype),
+            next_id=jnp.asarray(0, jnp.int32),
+            prev_img=jnp.zeros((h, w), dtype),
+            has_prev=jnp.asarray(False),
+        )
+
+
+def _detect_new(
+    params: TrackerParams,
+    img: jnp.ndarray,
+    existing_pts: jnp.ndarray,
+    existing_valid: jnp.ndarray,
+):
+    """FAST detection with suppression of existing-feature neighborhoods.
+
+    Returns (xy (C,2), score (C,), valid (C,)) sorted by score per tile.
+    """
+    xy, score, valid = fast.detect(
+        img, params.fast_threshold, params.n_tiles_h, params.n_tiles_w,
+        params.max_feat_per_tile, params.non_max_supp,
+    )
+    h, w = img.shape
+    m = params.margin
+    inb = (
+        (xy[:, 0] >= m) & (xy[:, 0] < w - m) & (xy[:, 1] >= m) & (xy[:, 1] < h - m)
+    )
+    # suppress candidates inside the block around any live feature
+    # (tracker.cpp:494-534 neighborhood mask)
+    d = jnp.abs(xy[:, None, :] - existing_pts[None, :, :])  # (C, F, 2)
+    near = (d[..., 0] <= params.block_half_length) & (
+        d[..., 1] <= params.block_half_length
+    )
+    near_any = jnp.any(near & existing_valid[None, :], axis=1)
+    return xy, score, valid & inb & ~near_any
+
+
+def track_frame(
+    params: TrackerParams,
+    cam: cam_mod.Camera,
+    state: TrackerState,
+    img: jnp.ndarray,
+) -> Tuple[TrackerState, Matches]:
+    """One tracker frame. Returns (new_state, matches in normalized
+    undistorted coords)."""
+    f = params.budget
+    dtype = img.dtype
+    depth = params.lk_max_level
+
+    pyr_prev = build_pyramid(state.prev_img, depth)
+    pyr_cur = build_pyramid(img, depth)
+
+    live = state.ids >= 0
+
+    # -------- LK tracking + RANSAC outlier rejection -----------------------
+    cur_pts, ok = lk.track(
+        pyr_prev, pyr_cur, state.pts, live & state.has_prev,
+        half_win=params.win_half, n_iters=params.lk_iters,
+        min_eig_thr=params.min_eig_thr,
+    )
+    key = jax.random.PRNGKey(0)  # deterministic; hypotheses vary per frame
+    key = jax.random.fold_in(key, state.next_id)
+    inliers, _f = _ransac(params, state.pts, cur_pts, ok, key)
+    tracked = ok & inliers
+
+    # -------- matches (undistorted, normalized) ----------------------------
+    prev_n = cam_mod.normalize(cam, cam_mod.undistort(cam, state.pts))
+    cur_n = cam_mod.normalize(cam, cam_mod.undistort(cam, cur_pts))
+    matches = Matches(
+        track_id=jnp.where(tracked, state.ids, -1),
+        prev_pt=jnp.where(tracked[:, None], prev_n, 0.0).astype(dtype),
+        cur_pt=jnp.where(tracked[:, None], cur_n, 0.0).astype(dtype),
+        valid=tracked,
+    )
+
+    # -------- slot update + re-detection ----------------------------------
+    pts1 = jnp.where(tracked[:, None], cur_pts, 0.0)
+    ids1 = jnp.where(tracked, state.ids, -1)
+    scores1 = jnp.where(tracked, state.scores, 0.0)
+
+    n_live = jnp.sum(tracked)
+    need_detect = n_live < params.n_feat_min
+
+    cand_xy, cand_score, cand_valid = _detect_new(params, img, pts1, tracked)
+    cand_valid = cand_valid & need_detect
+
+    # fill free slots with the best candidates (score-sorted append,
+    # tracker.cpp:564-590)
+    order = jnp.argsort(-jnp.where(cand_valid, cand_score, -jnp.inf), stable=True)
+    cand_xy = cand_xy[order]
+    cand_score = cand_score[order]
+    cand_valid = cand_valid[order]
+
+    free = ~tracked
+    free_idx = jnp.argsort(~free, stable=True)  # free slots first
+    n_free = jnp.sum(free)
+    c = cand_xy.shape[0]
+    rank = jnp.arange(c)
+    can_place = cand_valid & (rank < n_free)
+    tgt = free_idx[jnp.clip(rank, 0, f - 1)]
+
+    new_ids = state.next_id + jnp.cumsum(can_place.astype(jnp.int32)) - 1
+
+    pts2 = pts1.at[tgt].set(
+        jnp.where(can_place[:, None], cand_xy.astype(dtype), pts1[tgt])
+    )
+    ids2 = ids1.at[tgt].set(jnp.where(can_place, new_ids, ids1[tgt]))
+    scores2 = scores1.at[tgt].set(jnp.where(can_place, cand_score, scores1[tgt]))
+    next_id = state.next_id + jnp.sum(can_place)
+
+    new_state = TrackerState(
+        pts=pts2,
+        ids=ids2,
+        scores=scores2,
+        next_id=next_id.astype(jnp.int32),
+        prev_img=img,
+        has_prev=jnp.asarray(True),
+    )
+    return new_state, matches
+
+
+def _ransac(params: TrackerParams, pts_prev, pts_cur, ok, key):
+    from ..ops.ransac import fundamental_ransac
+
+    return fundamental_ransac(
+        pts_prev, pts_cur, ok, key, params.ransac_threshold_px,
+        params.ransac_hypotheses,
+    )
+
+
+track_frame_jit = jax.jit(track_frame, static_argnums=(0, 1))
