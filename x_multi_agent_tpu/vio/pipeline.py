@@ -62,11 +62,11 @@ class FrameMeasurement(NamedTuple):
     """Per-frame inputs to the visual update (fixed shapes)."""
 
     matches: tm.Matches
-    # range (LRF) measurement; active if timestamp-like flag set
+    # range (LRF) measurement; active if timestamp-like flag set. The facet
+    # of SLAM features is selected on-device (range_facet.py).
     range_value: jnp.ndarray  # scalar
     range_img_pt: jnp.ndarray  # (2,) normalized LRF image point
     range_active: jnp.ndarray  # bool
-    range_feat_ids: jnp.ndarray  # (3,) int32 facet feature slots
     # sun sensor
     sun_angles: jnp.ndarray  # (2,)
     sun_active: jnp.ndarray  # bool
@@ -79,7 +79,6 @@ class FrameMeasurement(NamedTuple):
             range_value=jnp.zeros((), dtype),
             range_img_pt=jnp.zeros((2,), dtype),
             range_active=jnp.asarray(False),
-            range_feat_ids=jnp.zeros((3,), jnp.int32),
             sun_angles=jnp.zeros((2,), dtype),
             sun_active=jnp.asarray(False),
         )
@@ -188,10 +187,18 @@ def visual_update(
             slam_z, slam_has_obs, jnp.minimum(slam_len, m), cov,
             cur_pose_idx, cfg.sigma_img,
         )
+        # LRF facet: Delaunay-equivalent triangle of SLAM features around
+        # the LRF image point (range_facet.py)
+        from .range_facet import feature_triangle_at_point
+
+        facet_ids, facet_found = feature_triangle_at_point(
+            slam_z, slam_has_obs, meas.range_img_pt
+        )
         lrf_rows = range_upd.build(
-            meas.range_value, meas.range_img_pt, meas.range_feat_ids,
+            meas.range_value, meas.range_img_pt, facet_ids,
             vision.f_arr, vision.anchor_idx, vision.q_arr, vision.p_arr,
-            cov, cur_pose_idx, cfg.sigma_range, meas.range_active,
+            cov, cur_pose_idx, cfg.sigma_range,
+            meas.range_active & facet_found,
         )
         sns_rows = solar.build(
             meas.sun_angles, core.q, cov, meas.sun_active,

@@ -181,8 +181,10 @@ class VIO:
 
     # -- aux sensors ---------------------------------------------------------
 
-    def set_last_range_measurement(self, range_value: float, img_pt_n, feat_ids=(0, 1, 2)):
-        self._last_range = (range_value, np.asarray(img_pt_n), np.asarray(feat_ids))
+    def set_last_range_measurement(self, range_value: float, img_pt_n):
+        """Reference ``VIO::setLastRangeMeasurement``; consumed by the next
+        visual update (facet selected on-device)."""
+        self._last_range = (range_value, np.asarray(img_pt_n))
 
     def set_last_sun_angle_measurement(self, x_angle: float, y_angle: float):
         self._last_sun = (x_angle, y_angle)
@@ -230,12 +232,11 @@ class VIO:
         dt = self.params.jdtype
         meas = pipeline.FrameMeasurement.from_matches(self.params.cfg, matches)
         if self._last_range is not None:
-            rv, pt, ids = self._last_range
+            rv, pt = self._last_range
             meas = meas._replace(
                 range_value=jnp.asarray(rv, dt),
                 range_img_pt=jnp.asarray(pt, dt),
                 range_active=jnp.asarray(True),
-                range_feat_ids=jnp.asarray(ids, jnp.int32),
             )
             self._last_range = None
         if self._last_sun is not None:
