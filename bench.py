@@ -23,8 +23,20 @@ import numpy as np
 BASELINE_UPDATES_PER_S = 200.0
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/xmat_jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     import jax
+
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from x_multi_agent_tpu.ekf import ekf as ekf_mod
@@ -71,7 +83,7 @@ def main():
         a = jnp.broadcast_to(
             jnp.asarray([0.0, 0.0, 9.81], jnp.float32), (n_agents, n_imu, 3)
         )
-        matches = tm.Matches(
+        matches = tm.Matches.of(
             track_id=jnp.broadcast_to(jnp.arange(j, dtype=jnp.int32), (n_agents, j)),
             prev_pt=jnp.asarray(rng.normal(size=(n_agents, j, 2)) * 0.2, jnp.float32),
             cur_pt=jnp.asarray(rng.normal(size=(n_agents, j, 2)) * 0.2, jnp.float32),
@@ -82,13 +94,17 @@ def main():
         )(matches)
         return times, seqs, w, a, times[:, -1], meas
 
+    # pregenerate all inputs on device so the timing loop measures the
+    # device program, not host-side data generation
+    inputs = [jax.tree.map(jnp.asarray, frame_inputs(k)) for k in range(n_iters + 1)]
+
     # warmup / compile
-    fs, slots, _ = step(fs, slots, *frame_inputs(0))
+    fs, slots, _ = step(fs, slots, *inputs[0])
     jax.block_until_ready(fs.cov)
 
     t0 = time.perf_counter()
     for k in range(1, n_iters + 1):
-        fs, slots, _ = step(fs, slots, *frame_inputs(k))
+        fs, slots, _ = step(fs, slots, *inputs[k])
     jax.block_until_ready(fs.cov)
     elapsed = time.perf_counter() - t0
 

@@ -59,7 +59,7 @@ def run_agent(offset, sigma_dp, duration=3.0, seed=1):
         while imu_i < len(sim.imu_t) and sim.imu_t[imu_i] <= t_cam + 1e-9:
             v.process_imu(sim.imu_t[imu_i], imu_i, sim.imu_w[imu_i], sim.imu_a[imu_i])
             imu_i += 1
-        matches = tm.Matches(
+        matches = tm.Matches.of(
             track_id=jnp.asarray(sim.match_id[f]),
             prev_pt=jnp.asarray(sim.match_prev[f]),
             cur_pt=jnp.asarray(sim.match_cur[f]),

@@ -59,7 +59,7 @@ def run_sequence(duration=4.0, pixel_noise=5e-4, seed=1):
                 sim.imu_t[imu_i], imu_i, sim.imu_w[imu_i], sim.imu_a[imu_i]
             )
             imu_i += 1
-        matches = tm.Matches(
+        matches = tm.Matches.of(
             track_id=jnp.asarray(sim.match_id[f]),
             prev_pt=jnp.asarray(sim.match_prev[f]),
             cur_pt=jnp.asarray(sim.match_cur[f]),

@@ -98,3 +98,56 @@ def test_image_driven_vio_tracks_trajectory(rng):
     # so the tolerance is looser than the match-driven test
     assert rmse < 0.15, f"RMSE {rmse:.3f} m; tail {errs[-5:]}"
     assert int(v.fs.vision.n_valid_features) > 0
+
+
+@pytest.mark.slow
+def test_thermal_image_vio_with_photometric_calibration(rng):
+    """Config 2: drifting affine gain distortion on the rendered images;
+    the online photometric calibration must keep tracking stable."""
+    n_lm = 40
+    landmarks = np.stack(
+        [rng.uniform(-3.5, 3.5, n_lm), rng.uniform(-2.5, 2.5, n_lm),
+         rng.uniform(5, 9, n_lm)], 1,
+    )
+    amps = rng.uniform(120, 220, n_lm)
+    radius, omega = 0.8, 1.2
+    duration, imu_rate, cam_rate = 2.0, 100.0, 10.0
+
+    def pos(t):
+        return np.array(
+            [radius * np.sin(omega * t), radius * (1 - np.cos(omega * t)), 0.0]
+        )
+
+    def acc(t):
+        return np.array(
+            [-radius * omega**2 * np.sin(omega * t),
+             radius * omega**2 * np.cos(omega * t), 0.0]
+        )
+
+    v = vio_mod.VIO(PARAMS)
+    v.init_at_time(0.0, v=np.array([radius * omega, 0.0, 0.0]))
+    v.setup_tracker(TPARAMS, CAM, H, W)
+    v.enable_photometric(n_obs=64)
+
+    def thermal(img, k):
+        # slowly drifting gain (a, b)
+        a = 1.0 + 0.01 * k
+        b = 0.002 * k
+        return np.clip((img / 255.0) * (a - b) + b, 0, 1) * 255.0
+
+    v.process_image_measurement(0.0, 0, thermal(render(landmarks, amps, pos(0.0)), 0))
+    n_imu = int(duration * imu_rate)
+    imu_t = (np.arange(n_imu) + 1) / imu_rate
+    cam_every = int(imu_rate / cam_rate)
+    errs = []
+    k = 1
+    for i, t in enumerate(imu_t):
+        v.process_imu(t, i, np.zeros(3), acc(t) + [0, 0, 9.81])
+        if (i + 1) % cam_every == 0:
+            img = thermal(render(landmarks, amps, pos(t)), k)
+            k += 1
+            v.process_image_measurement(t, i, img)
+            errs.append(np.linalg.norm(np.array(v.tail_state().p) - pos(t)))
+    errs = np.array(errs)
+    rmse = np.sqrt(np.mean(errs**2))
+    assert rmse < 0.25, f"RMSE {rmse:.3f} m under thermal gain drift"

@@ -33,6 +33,11 @@ class CollabConfig(NamedTuple):
     ci_slam_w: float = 0.01  # weight given to the peer (reference ci_slam_w)
     gt_match_dist: float = 0.5  # GT_DEBUG proximity gate [m]
     match_budget: int = 10  # SLAM-SLAM matches per peer
+    # descriptor path (reference pr_desc_* params)
+    desc_ratio_thr: float = 0.8
+    desc_abs_thr: float = 60.0
+    # request-response policy (reference pr_score_thr)
+    pr_score_thr: float = 0.3
 
 
 def extract_payload(params: vio_mod.VioParams, fs) -> AgentPayload:
@@ -77,6 +82,52 @@ def fuse_with_peer(
     return fs, n_applied
 
 
+def fuse_with_peer_desc(
+    params: vio_mod.VioParams,
+    ccfg: CollabConfig,
+    fs,
+    slots,
+    peer: AgentPayload,
+    peer_valid,
+):
+    """Descriptor-based SLAM-SLAM fusion (reference
+    ``PlaceRecognition::findCorrespondences`` SLAM path +
+    ``processOtherMeasurements``): BF-Hamming kNN(2) with ratio/absolute
+    gates on the SLAM-track descriptors, then CI fusion of matched
+    landmarks. (The chi2(3) gate inside apply_matches subsumes the
+    essential-matrix geometric verification for state-space consistency.)"""
+    from ..place_recognition.descriptors import knn2_match
+
+    dims = params.cfg.dims
+
+    def update_fn(core, vision, cov, aux):
+        other_idx, ok = knn2_match(
+            slots.slam_desc,
+            slots.slam_desc_valid,
+            peer.slam_desc,
+            peer.slam_desc_valid,
+            ccfg.desc_ratio_thr,
+            ccfg.desc_abs_thr,
+        )
+        n = dims.n_features
+        budget = ccfg.match_budget
+        order = jnp.argsort(~ok, stable=True)[:budget]
+        own_idx = order.astype(jnp.int32)
+        mvalid = ok[order] & peer_valid
+        core, vision, cov, n_app = multi_slam.apply_matches(
+            dims, core, vision, cov,
+            peer.p_arr, peer.q_arr, peer.f_arr, peer.anchor_idx, peer.cov,
+            own_idx, other_idx[order], mvalid,
+            ccfg.sigma_landmark, ccfg.ci_slam_w,
+        )
+        return core, vision, cov, aux + n_app
+
+    fs, n_applied, ok = ekf_mod.process_update_aux_impl(
+        params.ekf_params, fs, peer.time, update_fn, jnp.asarray(0, jnp.int32)
+    )
+    return fs, n_applied
+
+
 def collaborative_round(params: vio_mod.VioParams, ccfg: CollabConfig, fs_stack):
     """One full-map exchange round for A stacked agents (single host/chip
     form: vmap over agents; all payloads visible in the stacked pytree).
@@ -99,3 +150,111 @@ def collaborative_round(params: vio_mod.VioParams, ccfg: CollabConfig, fs_stack)
 
 
 collaborative_round_jit = jax.jit(collaborative_round, static_argnums=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# request-response policy (MULTI_UAV + REQUEST_COMM, SURVEY §3.4)
+# ---------------------------------------------------------------------------
+
+
+def extract_payload_desc(params: vio_mod.VioParams, fs, slots) -> AgentPayload:
+    """Payload incl. SLAM-track descriptors + last observations."""
+    t = fs.buffer.time[fs.anchor_buf_idx]
+    m = params.cfg.dims.n_poses
+    return make_payload(
+        params.cfg.dims, t, fs.vision, fs.cov,
+        slam_desc=slots.slam_desc,
+        slam_desc_valid=slots.slam_desc_valid,
+        slam_obs=slots.slam_obs[:, m - 1],
+    )
+
+
+def should_select_keyframe(
+    params: vio_mod.VioParams, fs, slots, last_kf_pos, frames_since
+):
+    """Keyframe selection heuristic (reference ``VioUpdater::postUpdate``
+    REQUEST_COMM branch, vio_updater.cpp:451-484): >=10 frames since last,
+    parallax/median-depth ratio > 0.15, more than 10 live tracks."""
+    from ..ekf import buffer as rb
+
+    core = rb.get_slot(fs.buffer, fs.anchor_buf_idx)
+    vision = fs.vision
+    rho = vision.f_arr[:, 2]
+    usable = (jnp.abs(rho) > 1e-3) & vision.feature_mask(params.cfg.dims)
+    depth_sum = jnp.sum(jnp.where(usable, 1.0 / jnp.maximum(jnp.abs(rho), 1e-3), 0.0))
+    med_depth = depth_sum / jnp.maximum(vision.f_arr.shape[0], 1)
+    diff = jnp.linalg.norm(core.p - last_kf_pos)
+    n_tracks = jnp.sum(slots.slam_id >= 0) + jnp.sum(slots.opp_id >= 0)
+    return (
+        (frames_since > 10)
+        & (med_depth > 0.0)
+        & (diff / jnp.maximum(med_depth, 1e-6) > 0.15)
+        & (n_tracks > 10)
+    )
+
+
+def query_vlad(words: jnp.ndarray, slots) -> jnp.ndarray:
+    """Requester side of ``VIO::getDescriptors`` (vio.cpp:455-460): VLAD of
+    the current frame's descriptors (SLAM + opportunistic tracks)."""
+    from ..place_recognition.vlad import compute_vlad
+
+    desc = jnp.concatenate([slots.slam_desc, slots.opp_desc], axis=0)
+    valid = jnp.concatenate([slots.slam_desc_valid, slots.opp_desc_valid], axis=0)
+    return compute_vlad(words, desc, valid)
+
+
+def request_response_round(
+    params: vio_mod.VioParams,
+    ccfg: CollabConfig,
+    words: jnp.ndarray,
+    fs_stack,
+    slots_stack,
+    db_stack,
+):
+    """One VLAD request-response exchange for A stacked agents.
+
+    Each agent broadcasts its query VLAD (cheap: W x 32 bytes); each
+    responder answers each peer with its best unserved keyframe above
+    ``pr_score_thr`` (heavy payload shipped only on a hit — the 89%%
+    bandwidth-saving policy); requesters fuse received keyframes with
+    descriptor matching + CI.
+
+    Returns (fs_stack, db_stack, hits (A requesters, A responders)).
+    """
+    from ..place_recognition import database as db_mod
+
+    a = fs_stack.head.shape[0]
+    vlads = jax.vmap(lambda s: query_vlad(words, s))(slots_stack)  # (A, W, 32)
+
+    # responders answer every requester (scan mutates served flags)
+    def respond(db, my_id):
+        def one_req(db, req_id):
+            idx, found, db = db_mod.find_candidate(
+                db, req_id, vlads[req_id], ccfg.pr_score_thr
+            )
+            found = found & (req_id != my_id)
+            return db, (idx, found)
+
+        db, (idxs, founds) = jax.lax.scan(one_req, db, jnp.arange(a))
+        kfs = jax.vmap(lambda i: db_mod.get_keyframe(db, i))(idxs)
+        return db, kfs, founds
+
+    db_stack, kf_grid, hit_grid = jax.vmap(respond)(db_stack, jnp.arange(a))
+    # kf_grid[b, a] = keyframe payload responder b ships to requester a
+    # hit_grid[b, a]
+
+    def consume(fs, slots, my_id):
+        def one_peer(fs, b):
+            kf = jax.tree.map(lambda x: x[b, my_id], kf_grid)
+            fs, n = fuse_with_peer_desc(
+                params, ccfg, fs, slots, kf, hit_grid[b, my_id]
+            )
+            return fs, n
+
+        fs, ns = jax.lax.scan(one_peer, fs, jnp.arange(a))
+        return fs, ns
+
+    fs_stack, n_matches = jax.vmap(consume)(
+        fs_stack, slots_stack, jnp.arange(a)
+    )
+    return fs_stack, db_stack, hit_grid.T, n_matches

@@ -43,6 +43,10 @@ class AgentPayload:
     # matching + convenience; reference computes them on demand,
     # state_manager.cpp:232-271)
     landmark_valid: jnp.ndarray  # (N,)
+    slam_desc: jnp.ndarray  # (N, 32) uint8 descriptors of the SLAM tracks
+    slam_desc_valid: jnp.ndarray  # (N,)
+    slam_obs: jnp.ndarray  # (N, 2) last normalized observation (for
+    # essential-matrix verification of descriptor matches)
 
 
 def slam_landmarks_world(dims: StateDims, vision: VisionState):
@@ -61,8 +65,17 @@ def slam_landmarks_world(dims: StateDims, vision: VisionState):
     return lms, valid
 
 
-def make_payload(dims: StateDims, time, vision: VisionState, cov) -> AgentPayload:
+def make_payload(
+    dims: StateDims, time, vision: VisionState, cov,
+    slam_desc=None, slam_desc_valid=None, slam_obs=None,
+) -> AgentPayload:
     lms, valid = slam_landmarks_world(dims, vision)
+    n = dims.n_features
+    if slam_desc is None:
+        slam_desc = jnp.zeros((n, 32), jnp.uint8)
+        slam_desc_valid = jnp.zeros((n,), bool)
+    if slam_obs is None:
+        slam_obs = jnp.zeros((n, 2), cov.dtype)
     return AgentPayload(
         time=jnp.asarray(time, cov.dtype),
         p_arr=vision.p_arr,
@@ -74,4 +87,7 @@ def make_payload(dims: StateDims, time, vision: VisionState, cov) -> AgentPayloa
         n_valid_features=vision.n_valid_features,
         landmarks=lms,
         landmark_valid=valid,
+        slam_desc=slam_desc,
+        slam_desc_valid=slam_desc_valid,
+        slam_obs=slam_obs,
     )

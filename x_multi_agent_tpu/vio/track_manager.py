@@ -63,6 +63,10 @@ class TrackSlots:
     opp_mask: jnp.ndarray  # (K, M)
     opp_id: jnp.ndarray  # (K,)
     opp_length: jnp.ndarray  # (K,)
+    slam_desc: jnp.ndarray  # (N, 32) uint8: last-obs descriptor (MULTI_UAV)
+    slam_desc_valid: jnp.ndarray  # (N,)
+    opp_desc: jnp.ndarray  # (K, 32) uint8
+    opp_desc_valid: jnp.ndarray  # (K,)
 
     @staticmethod
     def zero(dims: TrackDims, dtype=jnp.float32) -> "TrackSlots":
@@ -76,6 +80,10 @@ class TrackSlots:
             opp_mask=jnp.zeros((k, m), bool),
             opp_id=jnp.full((k,), -1, jnp.int32),
             opp_length=jnp.zeros((k,), jnp.int32),
+            slam_desc=jnp.zeros((n, 32), jnp.uint8),
+            slam_desc_valid=jnp.zeros((n,), bool),
+            opp_desc=jnp.zeros((k, 32), jnp.uint8),
+            opp_desc_valid=jnp.zeros((k,), bool),
         )
 
 
@@ -92,6 +100,8 @@ class Matches:
     prev_pt: jnp.ndarray  # (J, 2)
     cur_pt: jnp.ndarray  # (J, 2)
     valid: jnp.ndarray  # (J,) bool
+    desc: jnp.ndarray  # (J, 32) uint8 binary descriptor of the current obs
+    desc_valid: jnp.ndarray  # (J,) bool
 
     @staticmethod
     def zero(dims: TrackDims, dtype=jnp.float32) -> "Matches":
@@ -101,7 +111,16 @@ class Matches:
             prev_pt=jnp.zeros((j, 2), dtype),
             cur_pt=jnp.zeros((j, 2), dtype),
             valid=jnp.zeros((j,), bool),
+            desc=jnp.zeros((j, 32), jnp.uint8),
+            desc_valid=jnp.zeros((j,), bool),
         )
+
+    @staticmethod
+    def of(track_id, prev_pt, cur_pt, valid, desc=None, desc_valid=None) -> "Matches":
+        if desc is None:
+            desc = jnp.zeros(track_id.shape + (32,), jnp.uint8)
+            desc_valid = jnp.zeros(track_id.shape, bool)
+        return Matches(track_id, prev_pt, cur_pt, valid, desc, desc_valid)
 
 
 @_pytree_dataclass
@@ -127,6 +146,8 @@ class FrameTracks:
     new_is_msckf: jnp.ndarray  # (Kn,) baseline-OK -> MSCKF-SLAM init
     new_id: jnp.ndarray  # (Kn,)
     new_length: jnp.ndarray  # (Kn,)
+    new_desc: jnp.ndarray  # (Kn, 32)
+    new_desc_valid: jnp.ndarray  # (Kn,)
 
 
 # ---------------------------------------------------------------------------
@@ -230,6 +251,11 @@ def manage_tracks(
     slam_obs2 = jnp.where(slam_found[:, None, None], slam_obs_new, slots.slam_obs)
     slam_mask2 = jnp.where(slam_found[:, None], slam_mask_new, slots.slam_mask)
     slam_len2 = slots.slam_length + slam_found.astype(jnp.int32)
+    upd_desc = slam_found & matches.desc_valid[slam_match_idx]
+    slam_desc2 = jnp.where(
+        upd_desc[:, None], matches.desc[slam_match_idx], slots.slam_desc
+    )
+    slam_desc_valid2 = jnp.where(upd_desc, True, slots.slam_desc_valid & slam_found)
 
     consumed_by_slam = (slam_hit & slam_active[:, None]).any(axis=0)  # (J,)
 
@@ -270,6 +296,11 @@ def manage_tracks(
     )
     opp_id2 = jnp.where(opp_found, slots.opp_id, -1)
     opp_len2 = jnp.where(opp_found, slots.opp_length + 1, 0)
+    upd_odesc = opp_found & matches.desc_valid[opp_match_idx]
+    opp_desc2 = jnp.where(
+        upd_odesc[:, None], matches.desc[opp_match_idx], slots.opp_desc
+    )
+    opp_desc_valid2 = jnp.where(upd_odesc, True, slots.opp_desc_valid & opp_found)
 
     # new opportunistic tracks from unconsumed matches
     match_known = (
@@ -285,7 +316,7 @@ def manage_tracks(
     can_place = is_new_match & (new_rank < n_free)
     target = free_idx[jnp.clip(new_rank, 0, k - 1)]  # (J,)
 
-    def place(opp_obs, opp_mask, opp_id, opp_len):
+    def place(opp_obs, opp_mask, opp_id, opp_len, opp_desc, opp_dv):
         # vectorized scatter: each placeable match gets a distinct free slot
         # (targets are free_idx[rank] with distinct ranks); non-placeable
         # matches are dumped into a sacrificial extra row.
@@ -309,9 +340,13 @@ def manage_tracks(
         opp_mask = scat(opp_mask, new_msk)
         opp_id = scat(opp_id, matches.track_id)
         opp_len = scat(opp_len, jnp.full((jm,), 2, opp_len.dtype))
-        return opp_obs, opp_mask, opp_id, opp_len
+        opp_desc = scat(opp_desc, matches.desc)
+        opp_dv = scat(opp_dv, matches.desc_valid)
+        return opp_obs, opp_mask, opp_id, opp_len, opp_desc, opp_dv
 
-    opp_obs2, opp_mask2, opp_id2, opp_len2 = place(opp_obs2, opp_mask2, opp_id2, opp_len2)
+    (opp_obs2, opp_mask2, opp_id2, opp_len2, opp_desc2, opp_desc_valid2) = place(
+        opp_obs2, opp_mask2, opp_id2, opp_len2, opp_desc2, opp_desc_valid2
+    )
     opp_active2 = opp_id2 >= 0
 
     # ---------------- promotions ----------------
@@ -338,10 +373,13 @@ def manage_tracks(
     order = jnp.argsort(
         jnp.where(promo_valid, (~new_is_msckf).astype(jnp.int32), 2), stable=True
     )
+    new_desc = opp_desc2[promo_idx]
+    new_desc_valid = opp_desc_valid2[promo_idx] & promo_valid
     new_obs, new_mask = new_obs[order], new_mask[order]
     new_id, new_length = new_id[order], new_length[order]
     new_is_msckf = new_is_msckf[order]
     new_valid = promo_valid[order]
+    new_desc, new_desc_valid = new_desc[order], new_desc_valid[order]
 
     promoted = jnp.zeros((k,), bool).at[promo_idx].set(promo_valid)
 
@@ -358,6 +396,7 @@ def manage_tracks(
     opp_id3 = jnp.where(consumed, -1, opp_id2)
     opp_mask3 = jnp.where(consumed[:, None], False, opp_mask2)
     opp_len3 = jnp.where(consumed, 0, opp_len2)
+    opp_dv3 = jnp.where(consumed, False, opp_desc_valid2)
 
     new_slots = TrackSlots(
         slam_obs=slam_obs2,
@@ -368,6 +407,10 @@ def manage_tracks(
         opp_mask=opp_mask3,
         opp_id=opp_id3,
         opp_length=opp_len3,
+        slam_desc=slam_desc2,
+        slam_desc_valid=slam_desc_valid2,
+        opp_desc=opp_desc2,
+        opp_desc_valid=opp_dv3,
     )
     frame = FrameTracks(
         slam_has_obs=slam_found,
@@ -384,6 +427,8 @@ def manage_tracks(
         new_is_msckf=new_is_msckf,
         new_id=new_id,
         new_length=new_length,
+        new_desc=new_desc,
+        new_desc_valid=new_desc_valid,
     )
     return new_slots, frame, slam_new_pt
 
@@ -399,6 +444,8 @@ def apply_slam_compaction(slots: TrackSlots, perm: jnp.ndarray, n_keep) -> Track
         slam_mask=jnp.where(keep[:, None], slots.slam_mask[perm], False),
         slam_id=jnp.where(keep, slots.slam_id[perm], -1),
         slam_length=jnp.where(keep, slots.slam_length[perm], 0),
+        slam_desc=jnp.where(keep[:, None], slots.slam_desc[perm], 0),
+        slam_desc_valid=jnp.where(keep, slots.slam_desc_valid[perm], False),
     )
 
 
@@ -424,4 +471,6 @@ def insert_new_slam_tracks(
         slam_mask=scat(slots.slam_mask, frame.new_mask),
         slam_id=scat(slots.slam_id, frame.new_id),
         slam_length=scat(slots.slam_length, frame.new_length),
+        slam_desc=scat(slots.slam_desc, frame.new_desc),
+        slam_desc_valid=scat(slots.slam_desc_valid, frame.new_desc_valid),
     )

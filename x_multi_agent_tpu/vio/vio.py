@@ -202,15 +202,65 @@ class VIO:
             tracker_params, img_height, img_width, self.params.jdtype
         )
 
+    def enable_photometric(self, n_obs: int = 100, epsilon_gap: float = 0.02,
+                           epsilon_base: float = 0.005):
+        """PHOTOMETRIC_CALI equivalent: online thermal gain calibration.
+        Images are corrected with the previous frame's gains before
+        tracking (one-frame lag, like the reference's detached refinement
+        thread); gains update from matched-feature intensities."""
+        from ..photometric import calib as photo
+
+        self._photo_dims = photo.PhotoDims(n_history=1, n_obs=n_obs)
+        self._photo_state = photo.PhotoState.zero(self._photo_dims, self.params.jdtype)
+        self._photo_eps = (epsilon_gap, epsilon_base)
+        self._photo_prev_raw = None
+        self._photo_frame = 0
+
+    def _photometric_update(self, raw_img, old_tracker_state, matches):
+        """Update the gain chain from matched-feature intensities (raw
+        previous vs raw current image at prev/tracked positions)."""
+        from ..photometric import calib as photo
+        from ..vision.image import bilinear_sample
+
+        if self._photo_prev_raw is not None:
+            n = self._photo_dims.n_obs
+            prev_pts = old_tracker_state.pts[:n]
+            cur_pts = self._tracker_state.pts[:n]  # tracked positions
+            ok = matches.valid[:n]
+            prev_int = bilinear_sample(self._photo_prev_raw, prev_pts) / 255.0
+            cur_int = bilinear_sample(raw_img, cur_pts) / 255.0
+            self._photo_state, _, _ = photo.process_frame(
+                self._photo_dims, self._photo_state,
+                prev_int[None, :], cur_int[None, :], ok[None, :],
+                jnp.asarray([1], jnp.int32),
+                jax.random.PRNGKey(self._photo_frame),
+                epsilon_gap=self._photo_eps[0], epsilon_base=self._photo_eps[1],
+            )
+        self._photo_prev_raw = raw_img
+        self._photo_frame += 1
+
     def process_image_measurement(self, t: float, seq: int, img):
         """Track features in the image, then run the visual update
         (reference ``VIO::processImageMeasurement``, vio.cpp:226-272)."""
         from ..vision import tracker as trk_mod
 
+        photometric = getattr(self, "_photo_state", None) is not None
+        raw_img = jnp.asarray(img, self.params.jdtype)
+        if photometric:
+            from ..photometric import calib as photo
+
+            pt = self._photo_state.params_pt[self._photo_state.frame_ptr]
+            img = photo.correct_image(raw_img, pt[0], pt[1]).astype(
+                self.params.jdtype
+            )
+        old_tracker_state = self._tracker_state
+
         self._tracker_state, matches = trk_mod.track_frame_jit(
             self._tracker_params, self._camera, self._tracker_state,
             jnp.asarray(img, self.params.jdtype),
         )
+        if photometric:
+            self._photometric_update(raw_img, old_tracker_state, matches)
         # pad/crop the tracker's match budget to the pipeline's budget
         jm = self.params.cfg.tracks.n_matches
         jt = matches.valid.shape[0]
@@ -221,6 +271,8 @@ class VIO:
                 prev_pt=jnp.pad(matches.prev_pt, ((0, pad), (0, 0))),
                 cur_pt=jnp.pad(matches.cur_pt, ((0, pad), (0, 0))),
                 valid=jnp.pad(matches.valid, (0, pad)),
+                desc=jnp.pad(matches.desc, ((0, pad), (0, 0))),
+                desc_valid=jnp.pad(matches.desc_valid, (0, pad)),
             )
         elif jt > jm:
             matches = jax.tree.map(lambda x: x[:jm], matches)

@@ -42,6 +42,9 @@ class TrackerParams(NamedTuple):
     min_eig_thr: float = 1e-4
     ransac_threshold_px: float = 0.3  # outlier_param1
     ransac_hypotheses: int = 200
+    # MULTI_UAV: compute binary descriptors at tracked points each frame
+    # (reference computes ORB during detection, tracker.cpp:440-478)
+    compute_descriptors: bool = False
 
 
 def _pytree_dataclass(cls):
@@ -132,11 +135,20 @@ def track_frame(
     # -------- matches (undistorted, normalized) ----------------------------
     prev_n = cam_mod.normalize(cam, cam_mod.undistort(cam, state.pts))
     cur_n = cam_mod.normalize(cam, cam_mod.undistort(cam, cur_pts))
+    if params.compute_descriptors:
+        from ..place_recognition import descriptors as desc_mod
+
+        desc, desc_ok = desc_mod.compute(img, cur_pts, tracked)
+    else:
+        desc = jnp.zeros((f, 32), jnp.uint8)
+        desc_ok = jnp.zeros((f,), bool)
     matches = Matches(
         track_id=jnp.where(tracked, state.ids, -1),
         prev_pt=jnp.where(tracked[:, None], prev_n, 0.0).astype(dtype),
         cur_pt=jnp.where(tracked[:, None], cur_n, 0.0).astype(dtype),
         valid=tracked,
+        desc=desc,
+        desc_valid=desc_ok & tracked,
     )
 
     # -------- slot update + re-detection ----------------------------------
