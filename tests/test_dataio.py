@@ -40,7 +40,8 @@ def test_native_library_built():
 def test_imu_csv(dataset_dir):
     root, imu, _ = dataset_dir
     got = dataio.load_imu_csv(str(root / "imu.csv"))
-    np.testing.assert_allclose(got, imu, rtol=1e-12)
+    # the fixture wrote 9 decimal places
+    np.testing.assert_allclose(got, imu, atol=1e-9, rtol=0)
 
 
 def test_pgm_roundtrip(dataset_dir):
