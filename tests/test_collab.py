@@ -46,7 +46,7 @@ def test_gt_landmark_matching(rng):
     np.testing.assert_array_equal(perm[got_perm], np.arange(8))
 
 
-def run_agent(offset, sigma_dp, duration=3.0, seed=1):
+def run_agent(offset, sigma_dp, duration=3.0, seed=1, desc_table=None):
     sim = make_circle_sim(
         duration=duration, imu_rate=100.0, cam_rate=10.0, n_landmarks=30,
         match_budget=TRACKS.n_matches, pixel_noise=5e-4, seed=seed,
@@ -59,14 +59,55 @@ def run_agent(offset, sigma_dp, duration=3.0, seed=1):
         while imu_i < len(sim.imu_t) and sim.imu_t[imu_i] <= t_cam + 1e-9:
             v.process_imu(sim.imu_t[imu_i], imu_i, sim.imu_w[imu_i], sim.imu_a[imu_i])
             imu_i += 1
+        kwargs = {}
+        if desc_table is not None:
+            ids = np.clip(sim.match_id[f], 0, len(desc_table) - 1)
+            kwargs = dict(
+                desc=jnp.asarray(desc_table[ids]),
+                desc_valid=jnp.asarray(sim.match_valid[f]),
+            )
         matches = tm.Matches.of(
             track_id=jnp.asarray(sim.match_id[f]),
             prev_pt=jnp.asarray(sim.match_prev[f]),
             cur_pt=jnp.asarray(sim.match_cur[f]),
             valid=jnp.asarray(sim.match_valid[f]),
+            **kwargs,
         )
         v.process_matches_measurement(t_cam, f, matches)
     return v, sim
+
+
+@pytest.mark.slow
+def test_two_agent_joint_msckf_ci_round(rng):
+    """Cross-agent joint-MSCKF CI (the MULTI_UAV MSCKF path): shared
+    opportunistic tracks are matched by descriptor and jointly
+    triangulated; CI fusion reduces the offset agent's error."""
+    desc_table = rng.integers(0, 256, (40, 32)).astype(np.uint8)
+    va, sim = run_agent((0.0, 0.0, 0.0), 1e-3, desc_table=desc_table)
+    vb, _ = run_agent((0.25, 0.0, 0.0), 0.5, desc_table=desc_table)
+
+    true_p = sim.cam_p[-1]
+
+    def pos_err(fs):
+        from x_multi_agent_tpu.ekf import ekf as ekf_mod
+        return np.linalg.norm(np.array(ekf_mod.tail_core(fs).p) - true_p)
+
+    err_before = pos_err(vb.fs)
+    fs_stack = jax.tree.map(lambda x, y: jnp.stack([x, y]), va.fs, vb.fs)
+    slots_stack = jax.tree.map(lambda x, y: jnp.stack([x, y]), va.slots, vb.slots)
+    # NOTE: sequential CI applications are only stable for small peer
+    # weights (the reference's own default regime: "0.99 for the current
+    # uav and 0.01 distributed among the others", ci.cpp:55-57); large
+    # weights overshoot when several matches re-fuse the same peer state.
+    ccfg = CCFG._replace(ci_msckf_w=0.05, desc_abs_thr=40.0, max_peers=1)
+    fs_stack, n_applied = collab.collaborative_msckf_round(
+        PARAMS, ccfg, fs_stack, slots_stack
+    )
+    n_b = int(np.array(n_applied)[1])
+    assert n_b > 0, "no joint MSCKF matches applied for agent B"
+    fs_b = jax.tree.map(lambda x: x[1], fs_stack)
+    err_after = pos_err(fs_b)
+    assert err_after < 0.3 * err_before, (err_before, err_after, n_b)
 
 
 @pytest.mark.slow

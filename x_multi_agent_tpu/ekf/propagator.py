@@ -169,6 +169,26 @@ def continuous_matrices(e_w: jnp.ndarray, e_a: jnp.ndarray, q_1: jnp.ndarray, no
     return f_c, gqg
 
 
+def _expm_taylor(a: jnp.ndarray, order: int = 8, scaling: int = 3) -> jnp.ndarray:
+    """Matrix exponential by scaling-and-squaring with a Taylor series.
+
+    Pure matmuls (MXU-friendly, batches under vmap) — unlike
+    jax.scipy.linalg.expm whose Pade solve lowers to an LU custom call
+    that dominates the TPU profile. Accurate to f32 roundoff for the
+    small-norm matrices here (||F_c * dt|| << 1 at IMU rates).
+    """
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    x = a / (2.0**scaling)
+    # Horner evaluation of sum x^k / k!
+    acc = eye + x / order
+    for k in range(order - 1, 0, -1):
+        acc = eye + (x / k) @ acc
+    for _ in range(scaling):
+        acc = acc @ acc
+    return acc
+
+
 def discrete_process_noise(
     dt, q_1: jnp.ndarray, e_w: jnp.ndarray, e_a: jnp.ndarray, noise: ImuNoise
 ) -> jnp.ndarray:
@@ -176,8 +196,7 @@ def discrete_process_noise(
 
     Replaces the reference's 600-line symbolic expansion
     (``propagator.cpp:207-840``, MATLAB-generated, Weiss/MSF lineage) with
-    expm of the 30x30 Van Loan block matrix — tpu-friendly (a handful of
-    30x30 matmuls) and exact to machine precision.
+    a matmul-only expm of the 30x30 Van Loan block matrix.
     """
     dtype = q_1.dtype
     f_c, gqg = continuous_matrices(e_w, e_a, q_1, noise)
@@ -185,7 +204,7 @@ def discrete_process_noise(
     vl = vl.at[0:15, 0:15].set(-f_c)
     vl = vl.at[0:15, 15:30].set(gqg)
     vl = vl.at[15:30, 15:30].set(f_c.T)
-    e = jax.scipy.linalg.expm(vl * dt)
+    e = _expm_taylor(vl * dt)
     phi_t = e[15:30, 15:30]  # = Phi^T
     q_d = phi_t.T @ e[0:15, 15:30]
     return 0.5 * (q_d + q_d.T)
@@ -213,19 +232,32 @@ def compound_transitions(f_d_steps: jnp.ndarray, q_d_steps: jnp.ndarray):
     Phi_k = F_k ... F_1 ;  Q_k = F_k Q_{k-1} F_k^T + Q_d_k.
 
     The compounding law is associative:
-      (F2, Q2) ∘ (F1, Q1) = (F2 F1, F2 Q1 F2^T + Q2)
-    so we use an associative scan (log-depth batched matmuls) instead of a
-    sequential loop.
+      (F2, Q2) ∘ (F1, Q1) = (F2 F1, F2 Q1 F2^T + Q2).
+    Only the FINAL compound is needed, so this is a log-depth pairwise
+    tree reduction with pure reshapes + batched matmuls (an
+    associative_scan would compute all prefixes and stitch them with
+    slow TPU dynamic-update-slices). Non-power-of-two lengths are padded
+    with identity steps.
     """
+    l = f_d_steps.shape[0]
+    dtype = f_d_steps.dtype
+    # pad to the next power of two with identity transitions
+    lp = 1 << (l - 1).bit_length()
+    if lp != l:
+        pad_f = jnp.broadcast_to(jnp.eye(15, dtype=dtype), (lp - l, 15, 15))
+        pad_q = jnp.zeros((lp - l, 15, 15), dtype)
+        f_d_steps = jnp.concatenate([f_d_steps, pad_f])
+        q_d_steps = jnp.concatenate([q_d_steps, pad_q])
 
-    def combine(a, b):
-        """b ∘ a where a happens first."""
-        fa, qa = a
-        fb, qb = b
-        return fb @ fa, fb @ qa @ jnp.swapaxes(fb, -1, -2) + qb
-
-    fs, qs = jax.lax.associative_scan(combine, (f_d_steps, q_d_steps))
-    return fs[-1], qs[-1]
+    f, q = f_d_steps, q_d_steps
+    n = lp
+    while n > 1:
+        fa, fb = f[0::2], f[1::2]  # a first, then b
+        qa, qb = q[0::2], q[1::2]
+        f = jnp.matmul(fb, fa)
+        q = jnp.matmul(fb, jnp.matmul(qa, jnp.swapaxes(fb, -1, -2))) + qb
+        n //= 2
+    return f[0], q[0]
 
 
 def propagate_covariance(cov: jnp.ndarray, phi: jnp.ndarray, q_acc: jnp.ndarray):

@@ -24,6 +24,62 @@ def symmetrize(p: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (p + jnp.swapaxes(p, -1, -2))
 
 
+def solve3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 solve (adjugate/Cramer) — pure arithmetic, avoids
+    the LU custom call for the many tiny solves in triangulation."""
+    det = (
+        a[..., 0, 0] * (a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1])
+        - a[..., 0, 1] * (a[..., 1, 0] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 0])
+        + a[..., 0, 2] * (a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0])
+    )
+    safe = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    adj = jnp.stack(
+        [
+            a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1],
+            a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2],
+            a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1],
+            a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2],
+            a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0],
+            a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2],
+            a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0],
+            a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1],
+            a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0],
+        ],
+        axis=-1,
+    ).reshape(a.shape)
+    return jnp.einsum("...ij,...j->...i", adj, b) / safe[..., None]
+
+
+def householder_qt(hf: jnp.ndarray, *mats):
+    """Apply Q^T (from the QR of the (r, 3) matrix ``hf``) to each matrix
+    in ``mats`` via three explicit Householder reflections.
+
+    Pure rank-1 updates — avoids the generic QR custom call that dominates
+    TPU profiles for these tiny factorizations. Rank-deficient columns
+    (e.g. fully masked tracks) skip their reflection (beta = 0), matching
+    the zero-row padding semantics. Returns (hf_transformed, *mats_t).
+    """
+    r = hf.shape[0]
+    dtype = hf.dtype
+    a = hf
+    outs = list(mats)
+    rows = jnp.arange(r)
+    for k in range(hf.shape[1]):
+        x = jnp.where(rows >= k, a[:, k], 0.0)
+        norm = jnp.sqrt(jnp.sum(x * x))
+        sign = jnp.where(x[k] >= 0, 1.0, -1.0)
+        alpha = -sign * norm
+        v = x - alpha * (rows == k).astype(dtype)
+        vn2 = jnp.sum(v * v)
+        beta = jnp.where(vn2 > 1e-24, 2.0 / jnp.where(vn2 > 1e-24, vn2, 1.0), 0.0)
+        a = a - beta * jnp.outer(v, v @ a)
+        outs = [
+            m - beta * (jnp.outer(v, v @ m) if m.ndim == 2 else v * (v @ m))
+            for m in outs
+        ]
+    return (a, *outs)
+
+
 def nullspace_project(
     hf: jnp.ndarray, h: jnp.ndarray, res: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -38,15 +94,18 @@ def nullspace_project(
       res0 = A^T res (r-3,)
       h1 = Q1^T h  (3, d)     — column-space part
       (r1, h2) = (Q1^T res (3,), Q1^T hf (3,3))
+
+    Q^T is applied with explicit Householder reflections (see
+    householder_qt); rows :3 are the column-space part, rows 3: the
+    nullspace part — identical to splitting Q from a complete QR up to
+    orthogonal equivalence.
     """
-    q, _ = jnp.linalg.qr(hf, mode="complete")  # (r, r)
-    q1 = q[:, :3]
-    a = q[:, 3:]
-    h0 = a.T @ h
-    res0 = a.T @ res
-    h1 = q1.T @ h
-    r1 = q1.T @ res
-    h2 = q1.T @ hf
+    hf_t, h_t, res_t = householder_qt(hf, h, res)
+    h0 = h_t[3:]
+    res0 = res_t[3:]
+    h1 = h_t[:3]
+    r1 = res_t[:3]
+    h2 = hf_t[:3]
     return h0, res0, h1, (r1, h2)
 
 

@@ -31,9 +31,12 @@ def triangulate_dlt(
 ) -> jnp.ndarray:
     """Two-view linear triangulation; returns world xyz.
 
-    Same equations as ``cv::triangulatePoints``: rows x_i*P_i^3 - P_i^{1,2},
-    solved for the homogeneous point by SVD (smallest right singular vector).
-    """
+    Same equations as ``cv::triangulatePoints`` (rows x_i*P_i^3 - P_i^{1,2})
+    solved in the inhomogeneous form A[:, :3] x = -A[:, 3] via 3x3 normal
+    equations (closed-form Cramer solve — no SVD custom call; w=1 is safe
+    for finite VIO landmarks)."""
+    from . import linalg as _linalg
+
     rows = jnp.stack(
         [
             obs1[0] * proj1[2] - proj1[0],
@@ -42,9 +45,10 @@ def triangulate_dlt(
             obs2[1] * proj2[2] - proj2[1],
         ]
     )
-    _, _, vt = jnp.linalg.svd(rows)
-    pt_h = vt[-1]
-    return pt_h[:3] / pt_h[3]
+    a = rows[:, :3]
+    b = -rows[:, 3]
+    ata = a.T @ a + 1e-12 * jnp.eye(3, dtype=rows.dtype)
+    return _linalg.solve3(ata, a.T @ b)
 
 
 def triangulate_gn(
@@ -109,9 +113,11 @@ def triangulate_gn(
         jac = jnp.einsum("mij,mjk->mik", j1, j0)
         jac = jnp.where(mask[:, None, None], jac, 0.0)
 
+        from . import linalg as _linalg
+
         jtj = jnp.einsum("mij,mik->jk", jac, jac)
         jtr = jnp.einsum("mij,mi->j", jac, r)
-        delta = jnp.linalg.solve(jtj + eps * jnp.eye(3, dtype=dtype), jtr)
+        delta = _linalg.solve3(jtj + eps * jnp.eye(3, dtype=dtype), jtr)
 
         new_r_norm = jnp.sqrt(jnp.sum(r * r))
         # termination criterion (reference: while r_norm_last - r_norm > term)

@@ -38,6 +38,9 @@ class CollabConfig(NamedTuple):
     desc_abs_thr: float = 60.0
     # request-response policy (reference pr_score_thr)
     pr_score_thr: float = 0.3
+    # cross-agent MSCKF CI weight (reference ci_msckf_w)
+    ci_msckf_w: float = 0.01
+    max_peers: int = 2  # joint-MSCKF peer budget per track
 
 
 def extract_payload(params: vio_mod.VioParams, fs) -> AgentPayload:
@@ -152,20 +155,83 @@ def collaborative_round(params: vio_mod.VioParams, ccfg: CollabConfig, fs_stack)
 collaborative_round_jit = jax.jit(collaborative_round, static_argnums=(0, 1))
 
 
+def collaborative_msckf_round(
+    params: vio_mod.VioParams, ccfg: CollabConfig, fs_stack, slots_stack
+):
+    """Cross-agent joint-MSCKF CI round: each agent's long opportunistic
+    tracks are descriptor-matched against every peer's collaborative track
+    set and jointly triangulated + CI-fused (reference MULTI_UAV MSCKF
+    path). Outside the visual update the own-track MSCKF gate is
+    approximated by track validity. Returns (fs_stack, n_applied (A,))."""
+    from ..vio.updates import msckf_multi
+
+    a = fs_stack.head.shape[0]
+    p_max = ccfg.max_peers
+    payloads = jax.vmap(lambda fs, sl: extract_payload_desc(params, fs, sl))(
+        fs_stack, slots_stack
+    )
+
+    def one_agent(fs, slots, my_id):
+        own = jax.tree.map(lambda x: x[my_id], payloads)
+        # first p_max peers != self (deterministic selection)
+        order = jnp.argsort(jnp.where(jnp.arange(a) == my_id, a + 1, jnp.arange(a)))
+        peer_ids = order[:p_max]
+        peer_valid = peer_ids != my_id
+        peer = jax.tree.map(lambda x: x[peer_ids], payloads)
+
+        def update_fn(core, vision, cov, aux):
+            core, vision, cov, n = msckf_multi.apply_joint_msckf_ci(
+                params.cfg.dims, core, vision, cov,
+                own.trk_obs, own.trk_mask,
+                own.trk_desc_valid,  # own gate approximation
+                own.trk_desc, own.trk_desc_valid,
+                peer.p_arr, peer.q_arr, peer.cov,
+                peer.trk_obs, peer.trk_mask, peer.trk_desc,
+                peer.trk_desc_valid, peer_valid,
+                params.cfg.sigma_img, ccfg.ci_msckf_w,
+                oc=params.cfg.obs_constrained,
+                desc_abs_thr=ccfg.desc_abs_thr,
+            )
+            return core, vision, cov, aux + n
+
+        fs, n_applied, _ = ekf_mod.process_update_aux_impl(
+            params.ekf_params, fs, own.time, update_fn, jnp.asarray(0, jnp.int32)
+        )
+        return fs, n_applied
+
+    return jax.vmap(one_agent)(fs_stack, slots_stack, jnp.arange(a))
+
+
 # ---------------------------------------------------------------------------
 # request-response policy (MULTI_UAV + REQUEST_COMM, SURVEY §3.4)
 # ---------------------------------------------------------------------------
 
 
-def extract_payload_desc(params: vio_mod.VioParams, fs, slots) -> AgentPayload:
-    """Payload incl. SLAM-track descriptors + last observations."""
+def extract_payload_desc(
+    params: vio_mod.VioParams, fs, slots, n_collab_tracks: int = 8
+) -> AgentPayload:
+    """Payload incl. SLAM-track descriptors + last observations + the
+    top collaborative (opportunistic) tracks for cross-agent MSCKF."""
     t = fs.buffer.time[fs.anchor_buf_idx]
     m = params.cfg.dims.n_poses
+    # longest opp tracks with valid descriptors
+    key = jnp.where(
+        (slots.opp_id >= 0) & slots.opp_desc_valid,
+        slots.opp_length.astype(fs.cov.dtype),
+        -jnp.inf,
+    )
+    sel = jnp.argsort(-key, stable=True)[:n_collab_tracks]
+    sel_valid = (slots.opp_id[sel] >= 0) & slots.opp_desc_valid[sel]
     return make_payload(
         params.cfg.dims, t, fs.vision, fs.cov,
         slam_desc=slots.slam_desc,
         slam_desc_valid=slots.slam_desc_valid,
         slam_obs=slots.slam_obs[:, m - 1],
+        trk_obs=slots.opp_obs[sel],
+        trk_mask=slots.opp_mask[sel] & sel_valid[:, None],
+        trk_desc=slots.opp_desc[sel],
+        trk_desc_valid=sel_valid,
+        n_collab_tracks=n_collab_tracks,
     )
 
 

@@ -47,6 +47,12 @@ class AgentPayload:
     slam_desc_valid: jnp.ndarray  # (N,)
     slam_obs: jnp.ndarray  # (N, 2) last normalized observation (for
     # essential-matrix verification of descriptor matches)
+    # collaborative track set for cross-agent MSCKF (reference Keyframe
+    # msckf/opp track lists, keyframe.h:121-131)
+    trk_obs: jnp.ndarray  # (Kt, M, 2)
+    trk_mask: jnp.ndarray  # (Kt, M)
+    trk_desc: jnp.ndarray  # (Kt, 32) uint8
+    trk_desc_valid: jnp.ndarray  # (Kt,)
 
 
 def slam_landmarks_world(dims: StateDims, vision: VisionState):
@@ -68,14 +74,23 @@ def slam_landmarks_world(dims: StateDims, vision: VisionState):
 def make_payload(
     dims: StateDims, time, vision: VisionState, cov,
     slam_desc=None, slam_desc_valid=None, slam_obs=None,
+    trk_obs=None, trk_mask=None, trk_desc=None, trk_desc_valid=None,
+    n_collab_tracks: int = 8,
 ) -> AgentPayload:
     lms, valid = slam_landmarks_world(dims, vision)
     n = dims.n_features
+    m = dims.n_poses
     if slam_desc is None:
         slam_desc = jnp.zeros((n, 32), jnp.uint8)
         slam_desc_valid = jnp.zeros((n,), bool)
     if slam_obs is None:
         slam_obs = jnp.zeros((n, 2), cov.dtype)
+    if trk_obs is None:
+        kt = n_collab_tracks
+        trk_obs = jnp.zeros((kt, m, 2), cov.dtype)
+        trk_mask = jnp.zeros((kt, m), bool)
+        trk_desc = jnp.zeros((kt, 32), jnp.uint8)
+        trk_desc_valid = jnp.zeros((kt,), bool)
     return AgentPayload(
         time=jnp.asarray(time, cov.dtype),
         p_arr=vision.p_arr,
@@ -90,4 +105,8 @@ def make_payload(
         slam_desc=slam_desc,
         slam_desc_valid=slam_desc_valid,
         slam_obs=slam_obs,
+        trk_obs=trk_obs,
+        trk_mask=trk_mask,
+        trk_desc=trk_desc,
+        trk_desc_valid=trk_desc_valid,
     )

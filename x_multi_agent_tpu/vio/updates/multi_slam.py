@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ...ekf import ci as ci_mod
 from ...ekf.state import StateDims, VisionState, correct_core, correct_vision
-from ...ops import lie
+from ...ops import lie, linalg
 from ...utils.chi2 import chi2_gate
 
 
@@ -107,7 +107,7 @@ def apply_matches(
 
         # chi2(3, 0.90) gate on the joint innovation
         s_gate = h @ cov @ h.T + oh @ other_cov @ oh.T + var_lm * jnp.eye(3, dtype=dtype)
-        gamma = res @ jnp.linalg.solve(s_gate, res)
+        gamma = res @ linalg.solve3(s_gate, res)
         ok = (
             match_valid[i]
             & chi2_gate(gamma, jnp.asarray(3), 0.90, 4)
