@@ -90,7 +90,8 @@ def test_covariance_propagation_matches_dense_oracle(rng):
     fs2, applied = ekf_mod.process_update(PARAMS, fs, times[-1], update_fn)
     assert bool(applied)
     np.testing.assert_allclose(np.array(fs2.cov), p_ref, rtol=1e-9, atol=1e-15)
-    core_m = jax.tree.map(lambda x: x[int(fs2.anchor_buf_idx)], fs2.buffer)
+    from x_multi_agent_tpu.ekf import buffer as rb_mod
+    core_m = rb_mod.get_slot(fs2.buffer, int(fs2.anchor_buf_idx))
     np.testing.assert_allclose(np.array(core_m.p), np.array(core.p), atol=1e-12)
 
 
@@ -116,9 +117,10 @@ def test_update_and_repropagation(rng):
     fs2, applied = ekf_mod.process_update(PARAMS, fs, t_meas, update_fn)
     assert bool(applied)
     # anchor moved to the measurement slot
-    assert float(fs2.buffer.time[fs2.anchor_buf_idx]) == t_meas
+    assert float(fs2.buffer[fs2.anchor_buf_idx, 0]) == t_meas
     # the corrected position pulled most of the way to z (tight prior noise)
-    core_m = jax.tree.map(lambda x: x[int(fs2.anchor_buf_idx)], fs2.buffer)
+    from x_multi_agent_tpu.ekf import buffer as rb_mod
+    core_m = rb_mod.get_slot(fs2.buffer, int(fs2.anchor_buf_idx))
     np.testing.assert_allclose(np.array(core_m.p), np.array(z), atol=2e-2)
     # tail was repropagated: stationary IMU keeps the corrected offset
     tail = ekf_mod.tail_core(fs2)

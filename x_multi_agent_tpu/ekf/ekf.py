@@ -216,12 +216,8 @@ def _repropagate_tail(params: EkfParams, fs: FilterState, idx) -> FilterState:
     start = rb.get_slot(fs.buffer, idx)
     _, outs = jax.lax.scan(body, start, (samples, step_mask))
 
-    def scatter(buf_leaf, out_leaf):
-        mask = step_mask.reshape((lag,) + (1,) * (out_leaf.ndim - 1))
-        cur = buf_leaf[idxs]
-        return buf_leaf.at[idxs].set(jnp.where(mask, out_leaf, cur))
-
-    buf = jax.tree.map(scatter, fs.buffer, outs)
+    rows = rb.pack_cores(outs)
+    buf = rb.set_rows(fs.buffer, idxs, rows, step_mask)
     return dataclasses.replace(fs, buffer=buf)
 
 
@@ -233,7 +229,7 @@ def process_update_aux_impl(
     update_fn(core, vision, cov, aux) -> (core, vision, cov, aux).
     Returns (fs, aux, applied)."""
     b = params.dims.buffer_size
-    times = fs.buffer.time
+    times = rb.times(fs.buffer)
     idx = rb.closest_idx(times, jnp.asarray(meas_time, fs.cov.dtype), params.time_margin)
     anchor_t = times[fs.anchor_buf_idx]
     in_window = (
@@ -275,7 +271,7 @@ def process_update(
     collaborative measurements) are dropped, like out-of-range times.
     """
     b = params.dims.buffer_size
-    times = fs.buffer.time
+    times = rb.times(fs.buffer)
     idx = rb.closest_idx(times, jnp.asarray(meas_time, fs.cov.dtype), params.time_margin)
     anchor_t = times[fs.anchor_buf_idx]
     in_window = (

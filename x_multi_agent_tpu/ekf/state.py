@@ -142,7 +142,7 @@ class FilterState:
     state refer to (the last update, or the init state).
     """
 
-    buffer: CoreState  # leaves have leading dim (B,)
+    buffer: jnp.ndarray  # (B, 24) packed CoreState rows (see ekf/buffer.py)
     head: jnp.ndarray  # int32: ring index of newest entry
     size: jnp.ndarray  # int32: number of valid entries (<= B)
     anchor_buf_idx: jnp.ndarray  # int32: ring index covariance is anchored at
@@ -152,10 +152,9 @@ class FilterState:
 
     @staticmethod
     def zero(dims: StateDims, dtype=jnp.float32) -> "FilterState":
-        buf = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (dims.buffer_size,) + x.shape),
-            CoreState.zero(dtype),
-        )
+        from . import buffer as _rb
+
+        buf = _rb.empty_buffer(dims.buffer_size, dtype)
         return FilterState(
             buffer=buf,
             head=jnp.asarray(0, jnp.int32),

@@ -164,7 +164,22 @@ def kalman_update(
 def mahalanobis_gamma(
     cov: jnp.ndarray, h: jnp.ndarray, res: jnp.ndarray
 ) -> jnp.ndarray:
-    """gamma = res^T (H P H^T + I)^-1 res for whitened rows."""
-    s = h @ (cov @ h.T) + jnp.eye(h.shape[0], dtype=cov.dtype)
+    """gamma = res^T (H P H^T + I)^-1 res for whitened rows.
+
+    Tiny systems (r <= 3) use closed-form inverses to avoid per-row
+    Cholesky custom calls on TPU."""
+    r = h.shape[0]
+    s = h @ (cov @ h.T) + jnp.eye(r, dtype=cov.dtype)
+    if r == 1:
+        return res[0] * res[0] / s[0, 0]
+    if r == 2:
+        det = s[0, 0] * s[1, 1] - s[0, 1] * s[1, 0]
+        det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        return (
+            res[0] * (s[1, 1] * res[0] - s[0, 1] * res[1])
+            + res[1] * (s[0, 0] * res[1] - s[1, 0] * res[0])
+        ) / det
+    if r == 3:
+        return res @ solve3(s, res)
     cho = jax.scipy.linalg.cho_factor(s)
     return res @ jax.scipy.linalg.cho_solve(cho, res)

@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ekf import buffer as rb
 from ..ekf import ekf as ekf_mod
 from ..parallel.payload import AgentPayload, make_payload, slam_landmarks_world
 from ..place_recognition.gt_matching import match_landmarks
@@ -45,7 +46,7 @@ class CollabConfig(NamedTuple):
 
 def extract_payload(params: vio_mod.VioParams, fs) -> AgentPayload:
     """Snapshot the anchor-state vision/covariance for broadcast."""
-    t = fs.buffer.time[fs.anchor_buf_idx]
+    t = rb.times(fs.buffer)[fs.anchor_buf_idx]
     return make_payload(params.cfg.dims, t, fs.vision, fs.cov)
 
 
@@ -212,7 +213,7 @@ def extract_payload_desc(
 ) -> AgentPayload:
     """Payload incl. SLAM-track descriptors + last observations + the
     top collaborative (opportunistic) tracks for cross-agent MSCKF."""
-    t = fs.buffer.time[fs.anchor_buf_idx]
+    t = rb.times(fs.buffer)[fs.anchor_buf_idx]
     m = params.cfg.dims.n_poses
     # longest opp tracks with valid descriptors
     key = jnp.where(
