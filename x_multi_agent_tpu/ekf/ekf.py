@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from . import buffer as rb
+from ..ops.linalg import highprec
 from .propagator import ImuNoise, compound_transitions, propagate_covariance, propagate_mean, step_transition
 from .state import CoreState, FilterState, StateDims, VisionState
 
@@ -96,6 +97,7 @@ def _advance_anchor_one(params: EkfParams, fs: FilterState) -> FilterState:
 import functools
 
 
+@highprec
 def process_imu_impl(params: EkfParams, fs: FilterState, t, seq, w_m, a_m) -> FilterState:
     """One IMU sample: spike filter, enqueue, propagate core state."""
     t = jnp.asarray(t, fs.cov.dtype)
@@ -143,6 +145,7 @@ def process_imu_impl(params: EkfParams, fs: FilterState, t, seq, w_m, a_m) -> Fi
     return jax.lax.switch(fs.status, [ignore, standby, propagate], fs)
 
 
+@highprec
 def process_imu_batch_impl(
     params: EkfParams, fs: FilterState, times, seqs, w_ms, a_ms
 ) -> FilterState:
@@ -170,6 +173,7 @@ UpdateFn = Callable[
 ]
 
 
+@highprec
 def _cov_at(params: EkfParams, fs: FilterState, idx) -> jnp.ndarray:
     """Propagate the anchored covariance to buffer slot ``idx`` (batched
     per-step transitions + compounding scan)."""
@@ -221,6 +225,7 @@ def _repropagate_tail(params: EkfParams, fs: FilterState, idx) -> FilterState:
     return dataclasses.replace(fs, buffer=buf)
 
 
+@highprec
 def process_update_aux_impl(
     params: EkfParams, fs: FilterState, meas_time, update_fn, aux
 ):
@@ -258,6 +263,7 @@ process_update_aux = jax.jit(process_update_aux_impl, static_argnums=(0, 3))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
+@highprec
 def process_update(
     params: EkfParams, fs: FilterState, meas_time, update_fn: UpdateFn
 ) -> Tuple[FilterState, jnp.ndarray]:

@@ -14,10 +14,31 @@ changes the update — verified in tests against ragged NumPy oracles.
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def highprec(fn):
+    """Run ``fn``'s matmuls at float32 ``highest`` matmul precision.
+
+    TPU's default matmul precision runs float32 contractions through bf16
+    passes (~8 lost mantissa bits). That is fine for image kernels but
+    fatal for the filter: the 150-dim covariance loses positive
+    definiteness within a few frames and the Cholesky in the Kalman gain
+    goes NaN (observed on-chip at t=0.7 s on the circle sim; the float64
+    CPU test path never sees it). Everything under the filter entry points
+    is <=~200-dim, so full-precision passes cost nothing measurable.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def symmetrize(p: jnp.ndarray) -> jnp.ndarray:

@@ -325,3 +325,57 @@ def request_response_round(
         fs_stack, slots_stack, jnp.arange(a)
     )
     return fs_stack, db_stack, hit_grid.T, n_matches
+
+
+# ---------------------------------------------------------------------------
+# persistent match store integration (reference PlaceRecognition match
+# containers + updateOppMatches; see parallel/match_store.py)
+# ---------------------------------------------------------------------------
+
+
+def receive_and_record(
+    params: vio_mod.VioParams,
+    ccfg: CollabConfig,
+    fs,
+    slots,
+    store,
+    payload: AgentPayload,
+    uav_id,
+    payload_valid=True,
+):
+    """Reference ``VIO::processOtherMeasurements`` with persistence:
+    SLAM-SLAM matches are CI-fused immediately (as in the reference's
+    ``collaborativeUpdate``); own-OPP descriptor matches against the
+    peer's collaborative/SLAM sets are recorded in the match store and
+    consumed by later visual updates once the own track matures
+    (``updateOppMatches`` upgrade semantics)."""
+    from . import match_store as ms_mod
+
+    fs, n = fuse_with_peer_desc(params, ccfg, fs, slots, payload, payload_valid)
+    store = ms_mod.record(
+        store, slots, payload, uav_id,
+        ccfg.desc_ratio_thr, ccfg.desc_abs_thr, store_when=payload_valid,
+    )
+    return fs, store, n
+
+
+def visual_update_with_store(params: vio_mod.VioParams, ccfg: CollabConfig,
+                             fs, slots, store, meas_time, meas):
+    """Visual update that also upgrades/consumes stored cross-agent
+    matches (joint-MSCKF CI, SLAM-SLAM upgrades, matched-dead-track CI).
+
+    Returns (fs, (slots, store, n_collab), applied)."""
+    from ..vio import pipeline
+
+    def update_fn(core, vision, cov, aux):
+        slots, store, _ = aux
+        core, vision, cov, slots, store, n_collab = pipeline.visual_update(
+            params.cfg, core, vision, cov, slots, meas, store=store,
+            collab_cfg=ccfg,
+        )
+        return core, vision, cov, (slots, store, n_collab)
+
+    return ekf_mod.process_update_aux_impl(
+        params.ekf_params, fs, meas_time, update_fn,
+        (slots, store, jnp.asarray(0, jnp.int32)),
+    )

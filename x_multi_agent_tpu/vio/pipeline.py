@@ -110,10 +110,19 @@ def visual_update(
     cov: jnp.ndarray,
     slots: tm.TrackSlots,
     meas: FrameMeasurement,
+    store=None,
+    collab_cfg=None,
 ):
     """One full visual update at the measurement state.
 
-    Returns (core, vision, cov, slots).
+    With ``store`` (a :class:`parallel.match_store.MatchStore`) and
+    ``collab_cfg`` (any config carrying max_peers / sigma_landmark /
+    ci_slam_w / ci_msckf_w), persistent cross-agent matches are upgraded
+    and consumed inside the update (reference MULTI_UAV ``updateOppMatches``
+    + joint-MSCKF / SLAM-SLAM / short-CI consumption).
+
+    Returns (core, vision, cov, slots) or, with a store,
+    (core, vision, cov, slots, store, n_collab_applied).
     """
     dims = cfg.dims
     m, n = dims.n_poses, dims.n_features
@@ -135,6 +144,58 @@ def visual_update(
         cfg.msckf_baseline_y_n,
         prev_pose_valid=vision.n_valid_poses >= 1,
     )
+
+    # ---------------- 1b. persistent cross-agent match consumption --------
+    n_collab = jnp.asarray(0, jnp.int32)
+    work = None
+    if store is not None:
+        from ..parallel import match_store as ms_mod
+        from .updates import msckf_multi, multi_slam
+
+        store, work = ms_mod.update_and_harvest(
+            store, slots, frame, collab_cfg.max_peers
+        )
+        # keep the original MSCKF rows for the joint fusion below (the
+        # solo stack gets the matched rows masked out)
+        joint_obs = frame.msckf_obs
+        joint_mask = frame.msckf_mask
+        joint_valid = frame.msckf_valid & work.msckf_matched.any(axis=1)
+        # SLAM-SLAM upgrades: feature indices are pre-compaction here,
+        # aligned with the current vision state (the reference applies
+        # them in processOtherMeasurements, order-equivalent)
+        (ss_own, ss_peer, ss_p, ss_q, ss_f, ss_a, ss_cov, ss_ok) = (
+            ms_mod.gather_peer_slam(store, work)
+        )
+        core, vision, cov, n_ss = multi_slam.apply_matches_pairs(
+            dims, core, vision, cov, ss_p, ss_q, ss_f, ss_a, ss_cov,
+            ss_own, ss_peer, ss_ok,
+            collab_cfg.sigma_landmark, collab_cfg.ci_slam_w,
+        )
+        # matched DEAD tracks: joint short-MSCKF CI against the pre-slide
+        # pose list (the active opp_ids_ path, track_manager.cpp:238-260 +
+        # updater.cpp:52-75); matched rows leave the plain short update
+        sj_p, sj_q, sj_cov, sj_obs, sj_mask = ms_mod.gather_peer_tracks(
+            store, work.short_rows, work.short_matched
+        )
+        short_matched_any = work.short_matched.any(axis=1)
+        core, vision, cov, n_sj = msckf_multi.apply_joint_msckf_ci_pairs(
+            dims, core, vision, cov,
+            frame.short_obs, frame.short_mask & short_matched_any[:, None],
+            frame.short_valid & short_matched_any,
+            sj_p, sj_q, sj_cov, sj_obs, sj_mask, work.short_matched,
+            cfg.sigma_img, collab_cfg.ci_msckf_w, oc=cfg.obs_constrained,
+        )
+        frame = dataclasses.replace(
+            frame,
+            short_valid=frame.short_valid & ~short_matched_any,
+            short_mask=frame.short_mask & ~short_matched_any[:, None],
+            # matched MSCKF tracks leave the solo stack (consumed jointly
+            # after the stacked update, msckf_update.cpp MULTI_UAV branch)
+            msckf_valid=frame.msckf_valid & ~work.msckf_matched.any(axis=1),
+            msckf_mask=frame.msckf_mask
+            & ~work.msckf_matched.any(axis=1)[:, None],
+        )
+        n_collab = n_collab + n_ss + n_sj
 
     # ---------------- 2. short-MSCKF update (pre-slide pose list) ---------
     short_rows, _ = msckf.build(
@@ -224,6 +285,22 @@ def visual_update(
         vision = correct_vision(vision, corr, dims)
         correction_total = correction_total + corr
 
+    # ---------------- 4b. joint-MSCKF CI on stored matches -----------------
+    if store is not None:
+        from ..parallel import match_store as ms_mod
+        from .updates import msckf_multi
+
+        jm_p, jm_q, jm_cov, jm_obs, jm_mask = ms_mod.gather_peer_tracks(
+            store, work.msckf_rows, work.msckf_matched
+        )
+        core, vision, cov, n_jm = msckf_multi.apply_joint_msckf_ci_pairs(
+            dims, core, vision, cov,
+            joint_obs, joint_mask & joint_valid[:, None], joint_valid,
+            jm_p, jm_q, jm_cov, jm_obs, jm_mask, work.msckf_matched,
+            cfg.sigma_img, collab_cfg.ci_msckf_w, oc=cfg.obs_constrained,
+        )
+        n_collab = n_collab + n_jm
+
     # ---------------- 5. feature initialization ---------------------------
     ms_finite = (
         jnp.isfinite(ms_init.h2).all(axis=(1, 2))
@@ -246,4 +323,6 @@ def visual_update(
     accepted = jnp.where(frame.new_is_msckf, accept_ms, accept_std)
     slots = tm.insert_new_slam_tracks(slots, frame, accepted, n_feat_before)
 
+    if store is not None:
+        return core, vision, cov, slots, store, n_collab
     return core, vision, cov, slots

@@ -134,10 +134,12 @@ class FrameTracks:
     msckf_obs: jnp.ndarray  # (Km, M, 2)
     msckf_mask: jnp.ndarray  # (Km, M)
     msckf_valid: jnp.ndarray  # (Km,)
+    msckf_id: jnp.ndarray  # (Km,) track ids (cross-agent match store join)
     # short MSCKF: dead tracks, PRE-shift alignment (old window)
     short_obs: jnp.ndarray  # (Ks, M, 2)
     short_mask: jnp.ndarray  # (Ks, M)
     short_valid: jnp.ndarray  # (Ks,)
+    short_id: jnp.ndarray  # (Ks,) track ids (cross-agent match store join)
     # new SLAM features (MSCKF-SLAM group first, then std — matches the
     # state-insertion order, vio_updater.cpp postUpdate)
     new_obs: jnp.ndarray  # (Kn, M, 2)
@@ -282,6 +284,7 @@ def manage_tracks(
     )
     short_obs = slots.opp_obs[short_idx]
     short_mask = slots.opp_mask[short_idx] & short_valid[:, None]
+    short_id = jnp.where(short_valid, slots.opp_id[short_idx], -1)
 
     # live opp tracks: shift + append current obs
     opp_obs_shift = shift(slots.opp_obs)
@@ -391,6 +394,7 @@ def manage_tracks(
     )
     msckf_obs = opp_obs2[msckf_idx]
     msckf_mask = opp_mask2[msckf_idx] & msckf_valid[:, None]
+    msckf_id = jnp.where(msckf_valid, opp_id2[msckf_idx], -1)
 
     consumed = promoted | (jnp.zeros((k,), bool).at[msckf_idx].set(msckf_valid))
     opp_id3 = jnp.where(consumed, -1, opp_id2)
@@ -418,9 +422,11 @@ def manage_tracks(
         msckf_obs=msckf_obs,
         msckf_mask=msckf_mask,
         msckf_valid=msckf_valid,
+        msckf_id=msckf_id,
         short_obs=short_obs,
         short_mask=short_mask,
         short_valid=short_valid,
+        short_id=short_id,
         new_obs=new_obs,
         new_mask=new_mask,
         new_valid=new_valid,

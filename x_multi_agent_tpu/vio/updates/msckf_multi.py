@@ -18,6 +18,15 @@ peers,
 
 Fixed shapes: P_MAX peer slots per track; missing peers contribute zero
 rows (harmless under the orthogonal projections).
+
+Two entry points:
+  * :func:`apply_joint_msckf_ci` — live descriptor matching against a
+    shared peer set (one payload per peer), used by the same-round
+    collaborative fusion.
+  * :func:`apply_joint_msckf_ci_pairs` — explicit per-own-track peer
+    associations (peer data gathered per track), used by the persistent
+    match store (reference ``msckf_matches_`` consumed at the next visual
+    update, ``msckf_update.cpp:90-143``).
 """
 from __future__ import annotations
 
@@ -46,120 +55,98 @@ def _participant_rows(g_p_f, obs, mask, q_arr, p_arr, g_vec, n_features, oc, dty
     return h_t[:3], hf_t[:3], res_t[:3], finite
 
 
-def apply_joint_msckf_ci(
+def apply_joint_msckf_ci_pairs(
     dims: StateDims,
     core,
     vision,
     cov: jnp.ndarray,
     own_obs: jnp.ndarray,  # (K, M, 2) own MSCKF tracks (window-aligned)
     own_mask: jnp.ndarray,  # (K, M)
-    own_inlier: jnp.ndarray,  # (K,) own-track MSCKF gate passed
-    own_desc: jnp.ndarray,  # (K, 32)
-    own_desc_valid: jnp.ndarray,  # (K,)
-    peer_p_arr: jnp.ndarray,  # (P, M, 3)
-    peer_q_arr: jnp.ndarray,  # (P, M, 4)
-    peer_cov: jnp.ndarray,  # (P, D, D)
-    peer_trk_obs: jnp.ndarray,  # (P, Kt, M, 2)
-    peer_trk_mask: jnp.ndarray,  # (P, Kt, M)
-    peer_trk_desc: jnp.ndarray,  # (P, Kt, 32)
-    peer_trk_desc_valid: jnp.ndarray,  # (P, Kt)
-    peer_valid: jnp.ndarray,  # (P,)
+    own_inlier: jnp.ndarray,  # (K,) own-track gate
+    peer_p_arr: jnp.ndarray,  # (K, P, M, 3) per-track peer camera windows
+    peer_q_arr: jnp.ndarray,  # (K, P, M, 4)
+    peer_cov: jnp.ndarray,  # (K, P, D, D)
+    peer_obs: jnp.ndarray,  # (K, P, M, 2) matched peer track obs
+    peer_mask: jnp.ndarray,  # (K, P, M)
+    matched: jnp.ndarray,  # (K, P) association valid
     sigma_img: float,
     ci_msckf_w: float,
     oc: bool = True,
-    desc_abs_thr: float = 60.0,
+    own_q_arr=None,  # optional own window override (short-track path uses
+    own_p_arr=None,  # the pre-slide pose list, updater.cpp:52-75)
 ):
-    """Sequentially CI-fuse matched joint-MSCKF tracks. Returns
-    (core, vision, cov, n_applied)."""
-    from ...place_recognition.descriptors import hamming_matrix
+    """Sequentially CI-fuse explicitly matched joint-MSCKF tracks.
 
+    Returns (core, vision, cov, n_applied).
+    """
     k, m, _ = own_obs.shape
-    p_max = peer_p_arr.shape[0]
+    p_max = peer_p_arr.shape[1]
     d = cov.shape[0]
     dtype = cov.dtype
     g_vec = jnp.asarray(GRAVITY, dtype)
     var_img = sigma_img * sigma_img
 
-    # descriptor matching own tracks x each peer's collaborative tracks
-    def match_peer(trk_desc, trk_valid):
-        dmat = hamming_matrix(own_desc, trk_desc)  # (K, Kt)
-        big = jnp.iinfo(jnp.int32).max
-        dmat = jnp.where(trk_valid[None, :], dmat, big)
-        best = jnp.argmin(dmat, axis=1)
-        ok = (dmat[jnp.arange(k), best] < desc_abs_thr) & own_desc_valid
-        return best.astype(jnp.int32), ok
-
-    peer_best, peer_ok = jax.vmap(match_peer)(peer_trk_desc, peer_trk_desc_valid)
-    peer_ok = peer_ok & peer_valid[:, None]  # (P, K)
-
     def one_track(carry, kidx):
         core, vision, cov, n_app = carry
+        # own window: the carry's (corrected) vision state by default, so
+        # each track re-linearizes against the latest estimate; the
+        # short-track path overrides with the static pre-slide pose list.
+        q_own = vision.q_arr if own_q_arr is None else own_q_arr
+        p_own = vision.p_arr if own_p_arr is None else own_p_arr
 
         oobs = own_obs[kidx]
         omask = own_mask[kidx]
-        matched = peer_ok[:, kidx]  # (P,)
-        pobs = jnp.stack(
-            [peer_trk_obs[p, peer_best[p, kidx]] for p in range(p_max)]
-        )  # (P, M, 2)
-        pmask = jnp.stack(
-            [peer_trk_mask[p, peer_best[p, kidx]] for p in range(p_max)]
-        ) & matched[:, None]
+        tmatched = matched[kidx]  # (P,)
+        pobs = peer_obs[kidx]  # (P, M, 2)
+        pmask = peer_mask[kidx] & tmatched[:, None]
+        pq = peer_q_arr[kidx]  # (P, M, 4)
+        pp = peer_p_arr[kidx]  # (P, M, 3)
+        pcov = peer_cov[kidx]  # (P, D, D)
 
         # joint triangulation: peers first, own last (anchor = own last obs)
         obs_joint = jnp.concatenate([pobs.reshape(-1, 2), oobs], axis=0)
         mask_joint = jnp.concatenate([pmask.reshape(-1), omask], axis=0)
-        q_joint = jnp.concatenate(
-            [peer_q_arr.reshape(-1, 4), vision.q_arr], axis=0
-        )
-        p_joint = jnp.concatenate(
-            [peer_p_arr.reshape(-1, 3), vision.p_arr], axis=0
-        )
+        q_joint = jnp.concatenate([pq.reshape(-1, 4), q_own], axis=0)
+        p_joint = jnp.concatenate([pp.reshape(-1, 3), p_own], axis=0)
         ivd, anchor = triangulation.triangulate_gn(
             obs_joint, mask_joint, q_joint, p_joint
         )
         g_p_f = triangulation.ivd_to_world(ivd, q_joint[anchor], p_joint[anchor])
 
-        # participant rows: own first in the stacked feature system? The
-        # reference stacks own at block 0 then peers (msckf_update.cpp:160).
         h_own, hf_own, r_own, fin_own = _participant_rows(
-            g_p_f, oobs, omask, vision.q_arr, vision.p_arr, g_vec,
+            g_p_f, oobs, omask, q_own, p_own, g_vec,
             dims.n_features, oc, dtype,
         )
 
-        def peer_rows(pq, pp, po, pm):
+        def peer_rows(pq1, pp1, po1, pm1):
             return _participant_rows(
-                g_p_f, po, pm, pq, pp, g_vec, dims.n_features, oc, dtype
+                g_p_f, po1, pm1, pq1, pp1, g_vec, dims.n_features, oc, dtype
             )
 
-        h_p, hf_p, r_p, fin_p = jax.vmap(peer_rows)(
-            peer_q_arr, peer_p_arr, pobs, pmask
-        )
+        h_p, hf_p, r_p, fin_p = jax.vmap(peer_rows)(pq, pp, pobs, pmask)
 
         # joint nullspace projection over the stacked feature Jacobian
         hf_stack = jnp.concatenate([hf_own[None], hf_p], axis=0).reshape(
             3 * (p_max + 1), 3
         )
         r_stack = jnp.concatenate([r_own[None], r_p], axis=0).reshape(-1)
-        # apply Q^T via Householder reflections; rows 3: span the left
-        # nullspace of the stacked feature Jacobian
         eye_stack = jnp.eye(3 * (p_max + 1), dtype=dtype)
         _, qt, res_t = linalg.householder_qt(hf_stack, eye_stack, r_stack)
         a = qt[3:].T  # (3(P+1), rows)
         rows = a.shape[1]
         res_proj = res_t[3:]
-        # per-state projected blocks
         h_own_proj = a[:3].T @ h_own  # (rows, D)
         h_p_proj = jnp.stack(
             [a[3 * (i + 1) : 3 * (i + 2)].T @ h_p[i] for i in range(p_max)]
         )  # (P, rows, D)
 
         # N-way CI: S = (1/w0) Ho P Ho^T + sum (1/w) Hp Pp Hp^T + var I
-        n_peers = jnp.sum(matched)
+        n_peers = jnp.sum(tmatched)
         w0 = 1.0 - n_peers * ci_msckf_w
         s = (1.0 / w0) * h_own_proj @ cov @ h_own_proj.T
         for i in range(p_max):
-            s_i = h_p_proj[i] @ peer_cov[i] @ h_p_proj[i].T
-            s = s + jnp.where(matched[i], (1.0 / ci_msckf_w), 0.0) * s_i
+            s_i = h_p_proj[i] @ pcov[i] @ h_p_proj[i].T
+            s = s + jnp.where(tmatched[i], (1.0 / ci_msckf_w), 0.0) * s_i
         s = s + var_img * jnp.eye(rows, dtype=dtype)
 
         gamma = res_proj @ jnp.linalg.solve(s, res_proj)
@@ -204,3 +191,59 @@ def apply_joint_msckf_ci(
         jnp.arange(k),
     )
     return core, vision, cov, n_app
+
+
+def apply_joint_msckf_ci(
+    dims: StateDims,
+    core,
+    vision,
+    cov: jnp.ndarray,
+    own_obs: jnp.ndarray,  # (K, M, 2) own MSCKF tracks (window-aligned)
+    own_mask: jnp.ndarray,  # (K, M)
+    own_inlier: jnp.ndarray,  # (K,) own-track MSCKF gate passed
+    own_desc: jnp.ndarray,  # (K, 32)
+    own_desc_valid: jnp.ndarray,  # (K,)
+    peer_p_arr: jnp.ndarray,  # (P, M, 3)
+    peer_q_arr: jnp.ndarray,  # (P, M, 4)
+    peer_cov: jnp.ndarray,  # (P, D, D)
+    peer_trk_obs: jnp.ndarray,  # (P, Kt, M, 2)
+    peer_trk_mask: jnp.ndarray,  # (P, Kt, M)
+    peer_trk_desc: jnp.ndarray,  # (P, Kt, 32)
+    peer_trk_desc_valid: jnp.ndarray,  # (P, Kt)
+    peer_valid: jnp.ndarray,  # (P,)
+    sigma_img: float,
+    ci_msckf_w: float,
+    oc: bool = True,
+    desc_abs_thr: float = 60.0,
+):
+    """Descriptor-match own tracks to each peer's collaborative set, then
+    CI-fuse (same-round path). Returns (core, vision, cov, n_applied)."""
+    from ...place_recognition.descriptors import hamming_matrix
+
+    k = own_obs.shape[0]
+    p_max = peer_p_arr.shape[0]
+
+    # descriptor matching own tracks x each peer's collaborative tracks
+    def match_peer(trk_desc, trk_valid):
+        dmat = hamming_matrix(own_desc, trk_desc)  # (K, Kt)
+        big = jnp.iinfo(jnp.int32).max
+        dmat = jnp.where(trk_valid[None, :], dmat, big)
+        best = jnp.argmin(dmat, axis=1)
+        ok = (dmat[jnp.arange(k), best] < desc_abs_thr) & own_desc_valid
+        return best.astype(jnp.int32), ok
+
+    peer_best, peer_ok = jax.vmap(match_peer)(peer_trk_desc, peer_trk_desc_valid)
+    peer_ok = peer_ok & peer_valid[:, None]  # (P, K)
+
+    # gather per-own-track peer data: (K, P, ...)
+    bidx = peer_best.T  # (K, P)
+    parange = jnp.arange(p_max)
+    pobs = peer_trk_obs[parange[None, :], bidx]  # (K, P, M, 2)
+    pmask = peer_trk_mask[parange[None, :], bidx]  # (K, P, M)
+    brd = lambda x: jnp.broadcast_to(x[None], (k,) + x.shape)
+    return apply_joint_msckf_ci_pairs(
+        dims, core, vision, cov, own_obs, own_mask, own_inlier,
+        brd(peer_p_arr), brd(peer_q_arr), brd(peer_cov),
+        pobs, pmask, peer_ok.T,
+        sigma_img, ci_msckf_w, oc=oc,
+    )

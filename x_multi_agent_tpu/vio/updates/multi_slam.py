@@ -54,23 +54,25 @@ def _scatter_rows(d, m, anchor, feat_id, j_pos, j_att, hf, dtype):
     return h
 
 
-def apply_matches(
+def apply_matches_pairs(
     dims: StateDims,
     core,
     vision: VisionState,
     cov: jnp.ndarray,
-    other_p_arr: jnp.ndarray,
-    other_q_arr: jnp.ndarray,
-    other_f_arr: jnp.ndarray,
-    other_anchor: jnp.ndarray,
-    other_cov: jnp.ndarray,
+    other_p_arr: jnp.ndarray,  # (K, M, 3) per-match peer windows
+    other_q_arr: jnp.ndarray,  # (K, M, 4)
+    other_f_arr: jnp.ndarray,  # (K, N, 3)
+    other_anchor: jnp.ndarray,  # (K, N)
+    other_cov: jnp.ndarray,  # (K, D, D)
     own_fid: jnp.ndarray,  # (K,) matched own feature slots
     other_fid: jnp.ndarray,  # (K,) matched peer feature slots
     match_valid: jnp.ndarray,  # (K,)
     sigma_landmark: float,
     ci_slam_w: float,
 ):
-    """Sequentially apply K (masked) SLAM-SLAM CI updates.
+    """Sequentially apply K (masked) SLAM-SLAM CI updates where each
+    match may reference a DIFFERENT peer snapshot (persistent match-store
+    consumption, reference ``slam_matches_``).
 
     Returns (core, vision, cov, n_applied).
     """
@@ -85,10 +87,13 @@ def apply_matches(
         fid = own_fid[i]
         ofid = other_fid[i]
 
+        o_p_arr = other_p_arr[i]
+        o_q_arr = other_q_arr[i]
+        o_cov = other_cov[i]
         f = vision.f_arr[fid]
         a_idx = jnp.maximum(vision.anchor_idx[fid], 0)
-        of = other_f_arr[ofid]
-        oa_idx = jnp.maximum(other_anchor[ofid], 0)
+        of = other_f_arr[i, ofid]
+        oa_idx = jnp.maximum(other_anchor[i, ofid], 0)
 
         rho_s = jnp.where(jnp.abs(f[2]) > 1e-12, f[2], 1.0)
         orho_s = jnp.where(jnp.abs(of[2]) > 1e-12, of[2], 1.0)
@@ -96,17 +101,17 @@ def apply_matches(
         obear = jnp.stack([of[0], of[1], jnp.ones((), dtype)])
         g_p_f = lie.quat_to_rot(vision.q_arr[a_idx]) @ bear / rho_s + vision.p_arr[a_idx]
         og_p_f = (
-            lie.quat_to_rot(other_q_arr[oa_idx]) @ obear / orho_s + other_p_arr[oa_idx]
+            lie.quat_to_rot(o_q_arr[oa_idx]) @ obear / orho_s + o_p_arr[oa_idx]
         )
         res = og_p_f - g_p_f  # multi_slam_update.cpp:130
 
         j_pos, j_att, hf = _landmark_jac_blocks(f, vision.q_arr[a_idx], dtype)
         h = _scatter_rows(d, m, a_idx, fid, j_pos, j_att, hf, dtype)
-        oj_pos, oj_att, ohf = _landmark_jac_blocks(of, other_q_arr[oa_idx], dtype)
+        oj_pos, oj_att, ohf = _landmark_jac_blocks(of, o_q_arr[oa_idx], dtype)
         oh = _scatter_rows(d, m, oa_idx, ofid, -oj_pos, -oj_att, -ohf, dtype)
 
         # chi2(3, 0.90) gate on the joint innovation
-        s_gate = h @ cov @ h.T + oh @ other_cov @ oh.T + var_lm * jnp.eye(3, dtype=dtype)
+        s_gate = h @ cov @ h.T + oh @ o_cov @ oh.T + var_lm * jnp.eye(3, dtype=dtype)
         gamma = res @ linalg.solve3(s_gate, res)
         ok = (
             match_valid[i]
@@ -116,7 +121,7 @@ def apply_matches(
 
         def do(args):
             core, vision, cov = args
-            s, w_result = ci_mod.fuse_pairwise(cov, h, other_cov, oh, ci_slam_w)
+            s, w_result = ci_mod.fuse_pairwise(cov, h, o_cov, oh, ci_slam_w)
             s = s + var_lm * jnp.eye(3, dtype=dtype)
             # inflate own anchor + feature diagonal blocks (multi_slam_update.cpp:224-237)
             ci_p = cov
@@ -136,3 +141,34 @@ def apply_matches(
         body, (core, vision, cov, jnp.asarray(0, jnp.int32)), jnp.arange(k)
     )
     return core, vision, cov, n_app
+
+
+def apply_matches(
+    dims: StateDims,
+    core,
+    vision: VisionState,
+    cov: jnp.ndarray,
+    other_p_arr: jnp.ndarray,  # (M, 3) one shared peer snapshot
+    other_q_arr: jnp.ndarray,
+    other_f_arr: jnp.ndarray,
+    other_anchor: jnp.ndarray,
+    other_cov: jnp.ndarray,
+    own_fid: jnp.ndarray,  # (K,)
+    other_fid: jnp.ndarray,  # (K,)
+    match_valid: jnp.ndarray,  # (K,)
+    sigma_landmark: float,
+    ci_slam_w: float,
+):
+    """Sequentially apply K (masked) SLAM-SLAM CI updates against one
+    shared peer snapshot (same-round fusion path).
+
+    Returns (core, vision, cov, n_applied).
+    """
+    k = own_fid.shape[0]
+    brd = lambda x: jnp.broadcast_to(x[None], (k,) + x.shape)
+    return apply_matches_pairs(
+        dims, core, vision, cov,
+        brd(other_p_arr), brd(other_q_arr), brd(other_f_arr),
+        brd(other_anchor), brd(other_cov),
+        own_fid, other_fid, match_valid, sigma_landmark, ci_slam_w,
+    )
