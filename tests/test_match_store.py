@@ -74,6 +74,7 @@ def _empty_frame(dtype=jnp.float64):
         new_length=z((kn,), jnp.int32),
         new_desc=z((kn, 32), jnp.uint8),
         new_desc_valid=z((kn,), bool),
+        new_tile=jnp.full((kn,), -1, jnp.int32),
     )
 
 

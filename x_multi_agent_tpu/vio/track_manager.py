@@ -19,10 +19,10 @@ window slides) and the new observation lands in slot M-1. Dead tracks keep
 the pre-shift alignment, which is exactly what the short-MSCKF update needs
 (it runs against the pre-slide pose list, reference ``updater.cpp:52-75``).
 
-Round-1 simplification (documented deviation): the per-tile feature
-*spreading/eviction* heuristic (``track_manager.cpp:325-395``) is not yet
-implemented — promotion is purely by track length, longest first. This
-changes which features are selected on real imagery but no filter math.
+Per-tile feature *spreading/eviction* (``track_manager.cpp:325-395``) is
+implemented as a fixed-shape scan (:func:`_spread_scan`) and enabled by
+setting ``TrackDims.n_tiles_h/w > 0``; tiles ride on matches (-1 = no tile
+info -> pure length-ranked promotion, the 0 x 0 behavior).
 """
 from __future__ import annotations
 
@@ -49,6 +49,10 @@ class TrackDims(NamedTuple):
     n_msckf: int = 10  # MSCKF tracks per frame budget
     n_short: int = 10  # short-MSCKF tracks per frame budget
     n_new_slam: int = 15  # new SLAM features per frame budget (<= n_slam)
+    # image tile grid for SLAM-feature spatial spreading
+    # (track_manager.cpp:325-395); 0 x 0 disables the heuristic
+    n_tiles_h: int = 0
+    n_tiles_w: int = 0
 
 
 @_pytree_dataclass
@@ -67,6 +71,8 @@ class TrackSlots:
     slam_desc_valid: jnp.ndarray  # (N,)
     opp_desc: jnp.ndarray  # (K, 32) uint8
     opp_desc_valid: jnp.ndarray  # (K,)
+    slam_tile: jnp.ndarray  # (N,) int32 tile of last obs (-1 unknown)
+    opp_tile: jnp.ndarray  # (K,) int32
 
     @staticmethod
     def zero(dims: TrackDims, dtype=jnp.float32) -> "TrackSlots":
@@ -84,6 +90,8 @@ class TrackSlots:
             slam_desc_valid=jnp.zeros((n,), bool),
             opp_desc=jnp.zeros((k, 32), jnp.uint8),
             opp_desc_valid=jnp.zeros((k,), bool),
+            slam_tile=jnp.full((n,), -1, jnp.int32),
+            opp_tile=jnp.full((k,), -1, jnp.int32),
         )
 
 
@@ -102,6 +110,7 @@ class Matches:
     valid: jnp.ndarray  # (J,) bool
     desc: jnp.ndarray  # (J, 32) uint8 binary descriptor of the current obs
     desc_valid: jnp.ndarray  # (J,) bool
+    tile: jnp.ndarray  # (J,) int32 image tile of the current obs (-1 n/a)
 
     @staticmethod
     def zero(dims: TrackDims, dtype=jnp.float32) -> "Matches":
@@ -113,14 +122,18 @@ class Matches:
             valid=jnp.zeros((j,), bool),
             desc=jnp.zeros((j, 32), jnp.uint8),
             desc_valid=jnp.zeros((j,), bool),
+            tile=jnp.full((j,), -1, jnp.int32),
         )
 
     @staticmethod
-    def of(track_id, prev_pt, cur_pt, valid, desc=None, desc_valid=None) -> "Matches":
+    def of(track_id, prev_pt, cur_pt, valid, desc=None, desc_valid=None,
+           tile=None) -> "Matches":
         if desc is None:
             desc = jnp.zeros(track_id.shape + (32,), jnp.uint8)
             desc_valid = jnp.zeros(track_id.shape, bool)
-        return Matches(track_id, prev_pt, cur_pt, valid, desc, desc_valid)
+        if tile is None:
+            tile = jnp.full(track_id.shape, -1, jnp.int32)
+        return Matches(track_id, prev_pt, cur_pt, valid, desc, desc_valid, tile)
 
 
 @_pytree_dataclass
@@ -150,6 +163,7 @@ class FrameTracks:
     new_length: jnp.ndarray  # (Kn,)
     new_desc: jnp.ndarray  # (Kn, 32)
     new_desc_valid: jnp.ndarray  # (Kn,)
+    new_tile: jnp.ndarray  # (Kn,) int32
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +216,84 @@ def check_baseline(
     dx = jnp.max(jnp.where(mask, xy[:, 0], -big)) - jnp.min(x)
     dy = jnp.max(jnp.where(mask, xy[:, 1], -big)) - jnp.min(y)
     return (dx > min_baseline_x) | (dy > min_baseline_y)
+
+
+def _spread_scan(
+    n_bins: int,
+    slam_tile: jnp.ndarray,  # (N,) existing SLAM tracks' tiles (-1 inactive)
+    slam_alive: jnp.ndarray,  # (N,) active and not already lost
+    cand_tile: jnp.ndarray,  # (Kc,) candidate tiles, length-desc order
+    cand_valid: jnp.ndarray,  # (Kc,)
+    n_slam_free,
+):
+    """Per-tile SLAM-feature spreading with eviction (reference
+    ``track_manager.cpp:310-395``), as a fixed-shape sequential scan over
+    the (length-sorted) promotion candidates.
+
+    Per candidate: promote into a free slot if any; else, if the fullest
+    bin holds >= 2 more features than the candidate's bin, evict the
+    *youngest* feature of that bin (preferring a candidate accepted this
+    frame — reference ``bin_track_idx[..].back() >= slam_trks_.size()`` —
+    else the newest existing SLAM track, which is excised as a lost
+    feature after the update) and take its slot; else reject.
+
+    Returns (accept (Kc,), evict (N,)).
+    """
+    n = slam_tile.shape[0]
+    kc = cand_tile.shape[0]
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    counts0 = jnp.sum(
+        (slam_tile[None, :] == bins[:, None]) & slam_alive[None, :], axis=1
+    ).astype(jnp.int32)
+
+    def body(carry, t):
+        counts, free, accept, evict = carry
+        bt = jnp.clip(cand_tile[t], 0, n_bins - 1)
+        valid = cand_valid[t] & (cand_tile[t] >= 0)
+        maxbin = jnp.argmax(counts).astype(jnp.int32)
+        maxcount = counts[maxbin]
+
+        take_free = valid & (free > 0)
+        can_evict = valid & (free <= 0) & (maxcount > counts[bt] + 1)
+
+        # eviction target: youngest accepted candidate in maxbin, else
+        # youngest (highest-slot) existing SLAM track in maxbin
+        acc_in_max = accept & (cand_tile == maxbin)
+        has_new = acc_in_max.any()
+        # youngest accepted candidate = highest candidate index (candidates
+        # are appended in scan order)
+        new_j = jnp.argmax(
+            jnp.where(acc_in_max, jnp.arange(kc), -1)
+        ).astype(jnp.int32)
+        slam_in_max = slam_alive & ~evict & (slam_tile == maxbin)
+        old_j = jnp.argmax(
+            jnp.where(slam_in_max, jnp.arange(n), -1)
+        ).astype(jnp.int32)
+        has_old = slam_in_max.any()
+        do_evict = can_evict & (has_new | has_old)
+
+        accept = accept.at[new_j].set(
+            jnp.where(do_evict & has_new, False, accept[new_j])
+        )
+        evict = evict.at[old_j].set(
+            jnp.where(do_evict & ~has_new & has_old, True, evict[old_j])
+        )
+        counts = counts.at[maxbin].add(jnp.where(do_evict, -1, 0))
+
+        took = take_free | do_evict
+        accept = accept.at[t].set(took)
+        counts = counts.at[bt].add(jnp.where(took, 1, 0))
+        free = free - jnp.where(take_free, 1, 0)
+        return (counts, free, accept, evict), None
+
+    accept0 = jnp.zeros((kc,), bool)
+    evict0 = jnp.zeros((n,), bool)
+    (counts, free, accept, evict), _ = jax.lax.scan(
+        body,
+        (counts0, jnp.asarray(n_slam_free, jnp.int32), accept0, evict0),
+        jnp.arange(kc),
+    )
+    return accept, evict
 
 
 # ---------------------------------------------------------------------------
@@ -258,6 +350,8 @@ def manage_tracks(
         upd_desc[:, None], matches.desc[slam_match_idx], slots.slam_desc
     )
     slam_desc_valid2 = jnp.where(upd_desc, True, slots.slam_desc_valid & slam_found)
+    upd_tile = slam_found & (matches.tile[slam_match_idx] >= 0)
+    slam_tile2 = jnp.where(upd_tile, matches.tile[slam_match_idx], slots.slam_tile)
 
     consumed_by_slam = (slam_hit & slam_active[:, None]).any(axis=0)  # (J,)
 
@@ -304,6 +398,8 @@ def manage_tracks(
         upd_odesc[:, None], matches.desc[opp_match_idx], slots.opp_desc
     )
     opp_desc_valid2 = jnp.where(upd_odesc, True, slots.opp_desc_valid & opp_found)
+    upd_otile = opp_found & (matches.tile[opp_match_idx] >= 0)
+    opp_tile2 = jnp.where(upd_otile, matches.tile[opp_match_idx], slots.opp_tile)
 
     # new opportunistic tracks from unconsumed matches
     match_known = (
@@ -319,7 +415,7 @@ def manage_tracks(
     can_place = is_new_match & (new_rank < n_free)
     target = free_idx[jnp.clip(new_rank, 0, k - 1)]  # (J,)
 
-    def place(opp_obs, opp_mask, opp_id, opp_len, opp_desc, opp_dv):
+    def place(opp_obs, opp_mask, opp_id, opp_len, opp_desc, opp_dv, opp_tile):
         # vectorized scatter: each placeable match gets a distinct free slot
         # (targets are free_idx[rank] with distinct ranks); non-placeable
         # matches are dumped into a sacrificial extra row.
@@ -345,10 +441,13 @@ def manage_tracks(
         opp_len = scat(opp_len, jnp.full((jm,), 2, opp_len.dtype))
         opp_desc = scat(opp_desc, matches.desc)
         opp_dv = scat(opp_dv, matches.desc_valid)
-        return opp_obs, opp_mask, opp_id, opp_len, opp_desc, opp_dv
+        opp_tile = scat(opp_tile, matches.tile)
+        return opp_obs, opp_mask, opp_id, opp_len, opp_desc, opp_dv, opp_tile
 
-    (opp_obs2, opp_mask2, opp_id2, opp_len2, opp_desc2, opp_desc_valid2) = place(
-        opp_obs2, opp_mask2, opp_id2, opp_len2, opp_desc2, opp_desc_valid2
+    (opp_obs2, opp_mask2, opp_id2, opp_len2, opp_desc2, opp_desc_valid2,
+     opp_tile2) = place(
+        opp_obs2, opp_mask2, opp_id2, opp_len2, opp_desc2, opp_desc_valid2,
+        opp_tile2,
     )
     opp_active2 = opp_id2 >= 0
 
@@ -365,7 +464,21 @@ def manage_tracks(
     # promote longest first into available SLAM budget
     promo_rank_key = opp_len2.astype(dtype)
     promo_idx, promo_valid = _select_budget(long_enough, promo_rank_key, dims.n_new_slam)
-    promo_valid = promo_valid & (jnp.arange(dims.n_new_slam) < n_slam_free)
+    n_bins = dims.n_tiles_h * dims.n_tiles_w
+    if n_bins > 0:
+        # per-tile spreading with eviction (track_manager.cpp:310-395)
+        accept, evict = _spread_scan(
+            n_bins,
+            slam_tile2,
+            slam_active & ~lost_slam,
+            opp_tile2[promo_idx],
+            promo_valid,
+            n_slam_free,
+        )
+        promo_valid = accept
+        lost_slam = lost_slam | evict
+    else:
+        promo_valid = promo_valid & (jnp.arange(dims.n_new_slam) < n_slam_free)
 
     new_obs = opp_obs2[promo_idx]
     new_mask = opp_mask2[promo_idx] & promo_valid[:, None]
@@ -378,11 +491,13 @@ def manage_tracks(
     )
     new_desc = opp_desc2[promo_idx]
     new_desc_valid = opp_desc_valid2[promo_idx] & promo_valid
+    new_tile = jnp.where(promo_valid, opp_tile2[promo_idx], -1)
     new_obs, new_mask = new_obs[order], new_mask[order]
     new_id, new_length = new_id[order], new_length[order]
     new_is_msckf = new_is_msckf[order]
     new_valid = promo_valid[order]
     new_desc, new_desc_valid = new_desc[order], new_desc_valid[order]
+    new_tile = new_tile[order]
 
     promoted = jnp.zeros((k,), bool).at[promo_idx].set(promo_valid)
 
@@ -415,6 +530,8 @@ def manage_tracks(
         slam_desc_valid=slam_desc_valid2,
         opp_desc=opp_desc2,
         opp_desc_valid=opp_dv3,
+        slam_tile=slam_tile2,
+        opp_tile=opp_tile2,
     )
     frame = FrameTracks(
         slam_has_obs=slam_found,
@@ -435,6 +552,7 @@ def manage_tracks(
         new_length=new_length,
         new_desc=new_desc,
         new_desc_valid=new_desc_valid,
+        new_tile=new_tile,
     )
     return new_slots, frame, slam_new_pt
 
@@ -452,6 +570,7 @@ def apply_slam_compaction(slots: TrackSlots, perm: jnp.ndarray, n_keep) -> Track
         slam_length=jnp.where(keep, slots.slam_length[perm], 0),
         slam_desc=jnp.where(keep[:, None], slots.slam_desc[perm], 0),
         slam_desc_valid=jnp.where(keep, slots.slam_desc_valid[perm], False),
+        slam_tile=jnp.where(keep, slots.slam_tile[perm], -1),
     )
 
 
@@ -479,4 +598,5 @@ def insert_new_slam_tracks(
         slam_length=scat(slots.slam_length, frame.new_length),
         slam_desc=scat(slots.slam_desc, frame.new_desc),
         slam_desc_valid=scat(slots.slam_desc_valid, frame.new_desc_valid),
+        slam_tile=scat(slots.slam_tile, frame.new_tile),
     )

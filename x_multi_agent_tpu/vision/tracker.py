@@ -142,6 +142,18 @@ def track_frame(
     else:
         desc = jnp.zeros((f, 32), jnp.uint8)
         desc_ok = jnp.zeros((f,), bool)
+    # tile of the current pixel observation (feeds the track manager's
+    # SLAM-feature spreading, track_manager.cpp:325-395)
+    h_img, w_img = img.shape
+    tile_r = jnp.clip(
+        (cur_pts[:, 1] * params.n_tiles_h / h_img).astype(jnp.int32),
+        0, params.n_tiles_h - 1,
+    )
+    tile_c = jnp.clip(
+        (cur_pts[:, 0] * params.n_tiles_w / w_img).astype(jnp.int32),
+        0, params.n_tiles_w - 1,
+    )
+    tile = jnp.where(tracked, tile_r * params.n_tiles_w + tile_c, -1)
     matches = Matches(
         track_id=jnp.where(tracked, state.ids, -1),
         prev_pt=jnp.where(tracked[:, None], prev_n, 0.0).astype(dtype),
@@ -149,6 +161,7 @@ def track_frame(
         valid=tracked,
         desc=desc,
         desc_valid=desc_ok & tracked,
+        tile=tile,
     )
 
     # -------- slot update + re-detection ----------------------------------
