@@ -39,6 +39,10 @@ class CollabConfig(NamedTuple):
     desc_abs_thr: float = 60.0
     # request-response policy (reference pr_score_thr)
     pr_score_thr: float = 0.3
+    # essential-matrix RANSAC gate on descriptor matches, threshold in
+    # normalized-coordinate units (reference findEssentialMat verification,
+    # place_recognition.cpp:269-283); <= 0 disables
+    pr_ransac_thr: float = 0.01
     # cross-agent MSCKF CI weight (reference ci_msckf_w)
     ci_msckf_w: float = 0.01
     max_peers: int = 2  # joint-MSCKF peer budget per track
@@ -113,6 +117,19 @@ def fuse_with_peer_desc(
             ccfg.desc_ratio_thr,
             ccfg.desc_abs_thr,
         )
+        if ccfg.pr_ransac_thr > 0:
+            # geometric verification: epipolar RANSAC over the matched
+            # last observations (normalized coords -> F == E up to K)
+            from ..ops.ransac import fundamental_ransac
+
+            m = dims.n_poses
+            own_pts = slots.slam_obs[:, m - 1]
+            peer_pts = peer.slam_obs[other_idx]
+            inl, _ = fundamental_ransac(
+                own_pts, peer_pts, ok, jax.random.PRNGKey(7),
+                ccfg.pr_ransac_thr,
+            )
+            ok = ok & inl
         n = dims.n_features
         budget = ccfg.match_budget
         order = jnp.argsort(~ok, stable=True)[:budget]
@@ -355,6 +372,7 @@ def receive_and_record(
     store = ms_mod.record(
         store, slots, payload, uav_id,
         ccfg.desc_ratio_thr, ccfg.desc_abs_thr, store_when=payload_valid,
+        ransac_thr=ccfg.pr_ransac_thr,
     )
     return fs, store, n
 

@@ -103,6 +103,7 @@ def record(
     desc_ratio_thr: float,
     desc_abs_thr: float,
     store_when=True,
+    ransac_thr: float = 0.0,
 ) -> MatchStore:
     """Descriptor-match own OPP tracks against a received payload and merge
     the matches (reference ``findCorrespondences`` OPP classification +
@@ -155,6 +156,27 @@ def record(
     cand_type = jnp.where(c_ok, PEER_COLLAB, PEER_SLAM)
     cand_idx = jnp.where(c_ok, c_idx, s_idx)
     cand_ok = (c_ok | s_ok) & store_when
+
+    if ransac_thr > 0:
+        # geometric verification over the matched current observations
+        # (reference findEssentialMat gate, place_recognition.cpp:269-283)
+        from ..ops.ransac import fundamental_ransac
+
+        m = slots.opp_obs.shape[1]
+        own_pts = slots.opp_obs[:, m - 1]
+        # peer side: last valid obs of the matched collab track, or the
+        # SLAM feature's last observation
+        last_slot = jnp.argmax(
+            jnp.where(payload.trk_mask, jnp.arange(m)[None, :], -1), axis=1
+        )
+        trk_last = payload.trk_obs[jnp.arange(payload.trk_obs.shape[0]), last_slot]
+        peer_pts = jnp.where(
+            c_ok[:, None], trk_last[c_idx], payload.slam_obs[s_idx]
+        )
+        inl, _ = fundamental_ransac(
+            own_pts, peer_pts, cand_ok, jax.random.PRNGKey(11), ransac_thr
+        )
+        cand_ok = cand_ok & inl
 
     # dedup: drop candidates already stored for the same (own_id, uav)
     dup = (
