@@ -154,3 +154,35 @@ def test_accel_spike_filter():
     )
     tail = ekf_mod.tail_core(fs)
     np.testing.assert_allclose(np.array(tail.v), 0, atol=1e-12)
+
+
+def test_imu_batch_matches_sequential_scan(rng):
+    """Batched kInitialized IMU path == per-sample sequential processing,
+    including spike samples and forced anchor advances past max_update_lag."""
+    fs = init_filter()
+    n = 12  # > max_update_lag (8) to force anchor advances
+    times = 0.005 * (1 + np.arange(n))
+    seqs = np.arange(n, dtype=np.int64) + 1
+    w = rng.normal(size=(n, 3)) * 0.3
+    a = rng.normal(size=(n, 3)) + [0, 0, 9.81]
+    a[4] = [0.0, 0.0, 99.0]  # spike: must hold a[3]
+    a[5] = [70.0, 0.0, 0.0]  # consecutive spike: still holds a[3]
+    args = (jnp.asarray(times), jnp.asarray(seqs), jnp.asarray(w), jnp.asarray(a))
+
+    fs_batch = ekf_mod.process_imu_batch(PARAMS, fs, *args)
+
+    fs_seq = fs
+    for k in range(n):
+        fs_seq = ekf_mod.process_imu(
+            PARAMS, fs_seq, times[k], int(seqs[k]), jnp.asarray(w[k]), jnp.asarray(a[k])
+        )
+
+    assert int(fs_batch.head) == int(fs_seq.head)
+    assert int(fs_batch.size) == int(fs_seq.size)
+    assert int(fs_batch.anchor_buf_idx) == int(fs_seq.anchor_buf_idx)
+    np.testing.assert_allclose(
+        np.asarray(fs_batch.buffer), np.asarray(fs_seq.buffer), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(fs_batch.cov), np.asarray(fs_seq.cov), rtol=1e-8, atol=1e-13
+    )

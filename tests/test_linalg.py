@@ -1,0 +1,72 @@
+"""Measurement-compression equivalence: Gram/Cholesky vs Householder QR.
+
+The Kalman update is a function of the whitened rows only through
+G = [H|r]^T [H|r]; both compressions must therefore produce identical
+corrections and covariance updates (up to factorization roundoff).
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from x_multi_agent_tpu.ops import linalg
+
+
+def _system(rng, r, d, zero_cols=(), zero_row_frac=0.3):
+    h = rng.normal(size=(r, d))
+    res = rng.normal(size=(r,))
+    std = rng.uniform(0.004, 0.05, size=(r,))
+    # masked rows are zero in H and res
+    mask = rng.uniform(size=r) < zero_row_frac
+    h[mask] = 0.0
+    res[mask] = 0.0
+    for c in zero_cols:
+        h[:, c] = 0.0
+    a = rng.normal(size=(d, d))
+    cov = a @ a.T * 1e-4 + np.eye(d) * 1e-6
+    return jnp.asarray(h), jnp.asarray(res), jnp.asarray(std), jnp.asarray(cov)
+
+
+def test_gram_chol_matches_householder_qr(rng):
+    r, d = 300, 60
+    h, res, std, cov = _system(rng, r, d, zero_cols=(55, 56, 57, 58, 59))
+    corr_tot = jnp.asarray(rng.normal(size=d) * 1e-3)
+
+    hg, rg = linalg.qr_compress(h, res, std)
+    hq, rq = linalg.qr_compress_householder(h, res, std)
+
+    # identical Gram (the sufficient statistic)
+    np.testing.assert_allclose(
+        np.asarray(hg.T @ hg), np.asarray(hq.T @ hq), rtol=1e-7, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(hg.T @ rg), np.asarray(hq.T @ rq), rtol=1e-7, atol=1e-7
+    )
+
+    cg, pg = linalg.kalman_update(cov, hg, rg, corr_tot)
+    cq, pq = linalg.kalman_update(cov, hq, rq, corr_tot)
+    np.testing.assert_allclose(np.asarray(cg), np.asarray(cq), rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pg), np.asarray(pq), rtol=1e-6, atol=1e-12)
+
+
+def test_gram_chol_all_masked_rows_noop(rng):
+    r, d = 120, 40
+    h = jnp.zeros((r, d))
+    res = jnp.zeros((r,))
+    std = jnp.full((r,), 0.005)
+    a = rng.normal(size=(d, d))
+    cov = jnp.asarray(a @ a.T * 1e-4 + np.eye(d) * 1e-6)
+
+    hc, rc = linalg.qr_compress(h, res, std)
+    corr, cov1 = linalg.kalman_update(cov, hc, rc, jnp.zeros(d))
+    assert np.isfinite(np.asarray(cov1)).all()
+    np.testing.assert_allclose(np.asarray(corr), 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cov1), np.asarray(cov), rtol=1e-6, atol=1e-9)
+
+
+def test_mahalanobis_gamma_unrolled_vs_solve(rng):
+    for r in (5, 27):
+        a = rng.normal(size=(r, r))
+        s_in = a @ a.T + np.eye(r)
+        res = jnp.asarray(rng.normal(size=(r,)))
+        got = float(linalg._gamma_chol_unrolled(jnp.asarray(s_in), res))
+        want = float(np.asarray(res) @ np.linalg.solve(s_in, np.asarray(res)))
+        np.testing.assert_allclose(got, want, rtol=1e-10)

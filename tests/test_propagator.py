@@ -205,3 +205,40 @@ def test_compound_equals_stepwise(rng):
         propagator.propagate_covariance(jnp.asarray(p0), phi, q_acc)
     )
     np.testing.assert_allclose(p_got, p_ref, rtol=1e-10, atol=1e-10)
+
+
+def test_propagate_mean_batch_vs_scan(rng):
+    """Parallel batch propagation == sequential scan of propagate_mean,
+    including masked identity steps at the tail."""
+    start = make_core(rng, t=1.0)
+    l = 13
+    times = jnp.asarray(1.0 + np.cumsum(rng.uniform(0.002, 0.01, size=l)))
+    seqs = jnp.arange(l, dtype=jnp.int32)
+    w_ms = jnp.asarray(rng.normal(size=(l, 3)) * 0.4)
+    a_ms = jnp.asarray(rng.normal(size=(l, 3)) + [0, 0, 9.81])
+    g = jnp.asarray(G)
+    n_valid = 9
+    valid = jnp.arange(l) < n_valid
+
+    def body(carry, inp):
+        t, s, w, a, v = inp
+        t1 = jnp.where(v, t, carry.time)
+        new = propagator.propagate_mean(carry, t1, s, w, a, g)
+        return new, new
+
+    _, want = jax.lax.scan(body, start, (times, seqs, w_ms, a_ms, valid))
+    got = propagator.propagate_mean_batch(start, times, seqs, w_ms, a_ms, valid, g)
+
+    for name in ("p", "v", "q"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name))[:n_valid],
+            np.asarray(getattr(want, name))[:n_valid],
+            rtol=1e-10, atol=1e-12, err_msg=name,
+        )
+    # masked steps hold the last valid state
+    np.testing.assert_allclose(
+        np.asarray(got.p)[n_valid:],
+        np.broadcast_to(np.asarray(want.p)[n_valid - 1], (l - n_valid, 3)),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(got.b_w, np.broadcast_to(start.b_w, (l, 3)))

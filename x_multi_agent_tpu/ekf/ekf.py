@@ -30,7 +30,14 @@ import jax.numpy as jnp
 
 from . import buffer as rb
 from ..ops.linalg import highprec
-from .propagator import ImuNoise, compound_transitions, propagate_covariance, propagate_mean, step_transition
+from .propagator import (
+    ImuNoise,
+    compound_transitions,
+    propagate_covariance,
+    propagate_mean,
+    propagate_mean_batch,
+    step_transition,
+)
 from .state import CoreState, FilterState, StateDims, VisionState
 
 
@@ -145,18 +152,89 @@ def process_imu_impl(params: EkfParams, fs: FilterState, t, seq, w_m, a_m) -> Fi
     return jax.lax.switch(fs.status, [ignore, standby, propagate], fs)
 
 
+def _advance_anchor_n(params: EkfParams, fs: FilterState, n_adv, max_n: int) -> FilterState:
+    """Advance the covariance anchor ``n_adv`` (<= max_n) buffer slots in one
+    compounded covariance application — algebraically identical to ``n_adv``
+    sequential :func:`_advance_anchor_one` calls."""
+    b = params.dims.buffer_size
+    idx_prev = (fs.anchor_buf_idx + jnp.arange(max_n, dtype=jnp.int32)) % b
+    idx_next = (idx_prev + 1) % b
+    c0 = rb.get_slot(fs.buffer, idx_prev)
+    c1 = rb.get_slot(fs.buffer, idx_next)
+    f_all, q_all = jax.vmap(lambda a, c: step_transition(a, c, params.imu_noise))(c0, c1)
+    mask = (jnp.arange(max_n) < n_adv)[:, None, None]
+    eye = jnp.eye(15, dtype=fs.cov.dtype)
+    f_all = jnp.where(mask, f_all, eye)
+    q_all = jnp.where(mask, q_all, jnp.zeros_like(q_all))
+    phi, q_acc = compound_transitions(f_all, q_all)
+    cov = propagate_covariance(fs.cov, phi, q_acc)
+    return dataclasses.replace(
+        fs, cov=cov, anchor_buf_idx=(fs.anchor_buf_idx + n_adv) % b
+    )
+
+
 @highprec
 def process_imu_batch_impl(
     params: EkfParams, fs: FilterState, times, seqs, w_ms, a_ms
 ) -> FilterState:
-    """Scan a batch of IMU samples (the high-throughput entry point)."""
+    """Process a batch of IMU samples (the high-throughput entry point).
 
-    def body(fs, sample):
-        t, seq, w, a = sample
-        return process_imu_impl(params, fs, t, seq, w, a), None
+    The whole batch runs as ONE parallel program: last-non-spike accel
+    selection (cummax gather), log-depth quaternion prefix products + v/p
+    cumsums (propagate_mean_batch), a single multi-row buffer write, and
+    one compounded anchor advance — equivalent to the per-sample scan
+    (tested), without its serial chain. The first sample goes through the
+    single-step path (which owns the standby->initialized transition);
+    afterwards the status is 0 or 2, and the batched tail is selected in
+    (a vmapped cond has both branches execute, so the non-taken branch
+    must be cheap — a scan fallback here cost ~1.8 ms/frame dead)."""
+    l = times.shape[0]
+    fs = process_imu_impl(params, fs, times[0], seqs[0], w_ms[0], a_ms[0])
+    if l == 1:
+        return fs
 
-    fs, _ = jax.lax.scan(body, fs, (times, seqs, w_ms, a_ms))
-    return fs
+    def batched_path(fs):
+        b = params.dims.buffer_size
+        lt = l - 1
+        dtype = fs.cov.dtype
+        t_b, s_b, w_b, a_b = times[1:], seqs[1:], w_ms[1:], a_ms[1:]
+        tail = rb.get_slot(fs.buffer, fs.head)
+
+        # accel spike filter: hold the last accepted accel (ekf.cpp:119-128)
+        good = jnp.linalg.norm(a_b, axis=-1) <= params.a_m_max
+        idx = jnp.arange(lt, dtype=jnp.int32)
+        src = jax.lax.associative_scan(jnp.maximum, jnp.where(good, idx, -1))
+        a_use = jnp.where(
+            (src >= 0)[:, None], a_b[jnp.maximum(src, 0)], tail.a_m
+        )
+
+        g = params.g_vec.astype(dtype)
+        outs = propagate_mean_batch(
+            tail,
+            jnp.asarray(t_b, dtype),
+            s_b,
+            jnp.asarray(w_b, dtype),
+            jnp.asarray(a_use, dtype),
+            jnp.ones((lt,), bool),
+            g,
+        )
+        rows = rb.pack_cores(outs)
+        idxs = rb.ring_range(fs.head, lt, b)
+        buf = fs.buffer.at[idxs].set(rows)
+        head1 = (fs.head + lt) % b
+        fs = dataclasses.replace(
+            fs, buffer=buf, head=head1, size=jnp.minimum(fs.size + lt, b)
+        )
+        lag = rb.steps_between(fs.anchor_buf_idx, head1, b)
+        n_adv = jnp.maximum(lag - (params.max_update_lag - 1), 0)
+        return jax.lax.cond(
+            n_adv > 0,
+            lambda s: _advance_anchor_n(params, s, n_adv, lt),
+            lambda s: s,
+            fs,
+        )
+
+    return jax.lax.cond(fs.status == 2, batched_path, lambda s: s, fs)
 
 
 process_imu = jax.jit(process_imu_impl, static_argnums=0)
@@ -200,7 +278,10 @@ def _cov_at(params: EkfParams, fs: FilterState, idx) -> jnp.ndarray:
 
 def _repropagate_tail(params: EkfParams, fs: FilterState, idx) -> FilterState:
     """Re-run mean propagation from the (corrected) state at ``idx`` to the
-    buffer head (reference Ekf::repropagateFromStateAtIdx, ekf.cpp:227-255)."""
+    buffer head (reference Ekf::repropagateFromStateAtIdx, ekf.cpp:227-255).
+
+    Parallel: the quaternion chain is a log-depth prefix product and v/p
+    are cumsums (propagate_mean_batch) instead of a ``lag``-step scan."""
     dims = params.dims
     lag = params.max_update_lag
     b = dims.buffer_size
@@ -210,16 +291,10 @@ def _repropagate_tail(params: EkfParams, fs: FilterState, idx) -> FilterState:
     step_mask = jnp.arange(lag) < n_steps
     g = params.g_vec.astype(fs.cov.dtype)
 
-    def body(carry, inp):
-        sample, valid = inp
-        # masked steps propagate to the carry's own time -> exact identity
-        t1 = jnp.where(valid, sample.time, carry.time)
-        new = propagate_mean(carry, t1, sample.seq, sample.w_m, sample.a_m, g)
-        return new, new
-
     start = rb.get_slot(fs.buffer, idx)
-    _, outs = jax.lax.scan(body, start, (samples, step_mask))
-
+    outs = propagate_mean_batch(
+        start, samples.time, samples.seq, samples.w_m, samples.a_m, step_mask, g
+    )
     rows = rb.pack_cores(outs)
     buf = rb.set_rows(fs.buffer, idxs, rows, step_mask)
     return dataclasses.replace(fs, buffer=buf)

@@ -133,7 +133,7 @@ def nullspace_project(
 def qr_compress(
     h: jnp.ndarray, res: jnp.ndarray, noise_std: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Whitened QR measurement compression.
+    """Whitened measurement compression via the Gram matrix.
 
     The reference QR-decomposes the *unwhitened* augmented [H|res] and then
     replaces R with sigma_img^2 I (``vio_updater.cpp:487-512``) — exact only
@@ -141,10 +141,39 @@ def qr_compress(
     first, which is algebraically exact for mixed sensors (image + range +
     solar rows) and reduces the post-QR noise model to exactly I.
 
+    TPU note: the Kalman update depends on the whitened rows ONLY through
+    the Gram matrix G = [H|r]^T [H|r] (S, K, and the correction are all
+    functions of H^T H, H^T r, r^T r). So instead of a Householder QR
+    custom call (~4 ms/frame at this size) we form G with ONE tall-skinny
+    MXU matmul and take R = chol(G)^T — any compressed rows with the same
+    Gram give the identical update. Symmetric Jacobi equilibration keeps
+    chol well-conditioned in float32; a tiny relative ridge guards the
+    all-masked (G = 0) case.
+
     h: (r, d), res: (r,), noise_std: (r,) — masked rows must be zero (their
     std may be anything positive).
     Returns (h_c, res_c) with shapes ((d, d), (d,)) and implicit R = I.
     """
+    d = h.shape[1]
+    dtype = h.dtype
+    w = 1.0 / noise_std
+    aug = jnp.concatenate([h * w[:, None], (res * w)[:, None]], axis=1)
+    g = aug.T @ aug  # (d+1, d+1)
+    diag = jnp.diagonal(g)
+    s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-20))
+    gs = g * s[:, None] * s[None, :]
+    ridge = jnp.asarray(1e-6 if dtype == jnp.float32 else 1e-12, dtype)
+    l = jnp.linalg.cholesky(gs + ridge * jnp.eye(d + 1, dtype=dtype))
+    r_fact = l.T * (1.0 / s)[None, :]  # R with R^T R = G (+ ridge)
+    r_fact = jnp.where(jnp.isfinite(r_fact), r_fact, 0.0)
+    return r_fact[:d, :d], r_fact[:d, d]
+
+
+def qr_compress_householder(
+    h: jnp.ndarray, res: jnp.ndarray, noise_std: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-style whitened Householder-QR compression (oracle for
+    tests; the production path is the Gram/Cholesky :func:`qr_compress`)."""
     d = h.shape[1]
     w = 1.0 / noise_std
     aug = jnp.concatenate([h * w[:, None], (res * w)[:, None]], axis=1)
@@ -202,5 +231,30 @@ def mahalanobis_gamma(
         ) / det
     if r == 3:
         return res @ solve3(s, res)
-    cho = jax.scipy.linalg.cho_factor(s)
-    return res @ jax.scipy.linalg.cho_solve(cho, res)
+    return _gamma_chol_unrolled(s, res)
+
+
+def _gamma_chol_unrolled(s: jnp.ndarray, res: jnp.ndarray) -> jnp.ndarray:
+    """gamma = res^T S^-1 res via a compile-time-unrolled Cholesky forward
+    substitution (S SPD, static size).
+
+    The XLA Cholesky custom call on batched small matrices costs ~1 ms per
+    (32,K,27,27) invocation on TPU; this unrolled version is a chain of
+    fused vector ops that batches cleanly under vmap. gamma = ||y||^2 with
+    L y = res computed column by column alongside the factorization.
+    """
+    r = s.shape[0]
+    dtype = s.dtype
+    rows = jnp.arange(r)
+    l = jnp.zeros((r, r), dtype)
+    y = jnp.zeros((r,), dtype)
+    for j in range(r):
+        # pivot and column j of L (uses columns < j of L, rest are zero)
+        pivot2 = s[j, j] - l[j, :] @ l[j, :]
+        pivot = jnp.sqrt(jnp.maximum(pivot2, 1e-30))
+        col = (s[:, j] - l @ l[j, :]) / pivot
+        col = jnp.where(rows > j, col, 0.0)
+        l = l.at[:, j].set(col.at[j].set(pivot))
+        # forward substitution step: y_j = (res_j - L[j,:j] y[:j]) / pivot
+        y = y.at[j].set((res[j] - l[j, :] @ y) / pivot)
+    return y @ y

@@ -309,18 +309,16 @@ def visual_update(
     )
     accept_ms = frame.new_valid & frame.new_is_msckf & ms_finite
     accept_std = frame.new_valid & ~frame.new_is_msckf
+    accepted = jnp.where(frame.new_is_msckf, accept_ms, accept_std)
     n_feat_before = vision.n_valid_features
 
-    vision, cov = sm.init_msckf_slam_features(
-        dims, vision, cov, ms_init.h1, ms_init.h2, ms_init.r1,
-        ms_init.features, accept_ms, correction_total, cfg.sigma_img,
-    )
     std_z = frame.new_obs[:, m - 1]
-    vision, cov = sm.init_standard_slam_features(
-        dims, vision, cov, std_z, accept_std, cfg.rho_0, cfg.sigma_img,
-        cfg.sigma_rho_0,
+    vision, cov = sm.init_new_features(
+        dims, vision, cov, frame.new_is_msckf,
+        ms_init.h1, ms_init.h2, ms_init.r1, ms_init.features,
+        std_z, accepted, correction_total,
+        cfg.sigma_img, cfg.rho_0, cfg.sigma_rho_0,
     )
-    accepted = jnp.where(frame.new_is_msckf, accept_ms, accept_std)
     slots = tm.insert_new_slam_tracks(slots, frame, accepted, n_feat_before)
 
     if store is not None:

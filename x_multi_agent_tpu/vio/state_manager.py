@@ -141,14 +141,24 @@ def reparametrize_features(
         mat_o = mat_o.at[2, 2].set(-1.0 / rho_safe)
         j_feat_old = (1.0 / rho_safe) * r_new.T @ r_old @ mat_o
 
-        a_j = jnp.zeros((3, d), dtype)
-        a_j = a_j.at[:, 15 + 3 * (m - 1) : 15 + 3 * m].set(j_a_pos_new)
-        a_j = a_j.at[:, 15 + 3 * m + 3 * (m - 1) : 15 + 6 * m].set(j_a_att_new)
-        a_j = a_j.at[:, 15 : 15 + 3].add(j_a_pos_old)
-        a_j = a_j.at[:, 15 + 3 * m : 15 + 3 * m + 3].add(j_a_att_old)
-        a_j = jax.lax.dynamic_update_slice(
-            a_j, j_feat_old, (jnp.int32(0), jnp.int32(15 + 6 * m) + 3 * j)
+        # one concatenated materialization (old pose = window slot 0, new
+        # pose = slot m-1); the own-feature block lands via a one-hot
+        # matmul — a batch-varying dynamic_update_slice would serialize
+        # under vmap on TPU
+        z_mid = jnp.zeros((3, 3 * (m - 2)), dtype)
+        a_j = jnp.concatenate(
+            [
+                jnp.zeros((3, 15), dtype),
+                j_a_pos_old, z_mid, j_a_pos_new,
+                j_a_att_old, z_mid, j_a_att_new,
+                jnp.zeros((3, 3 * n), dtype),
+            ],
+            axis=1,
         )
+        cols = jnp.arange(d, dtype=jnp.int32)
+        tgt = jnp.int32(15 + 6 * m) + 3 * j + jnp.arange(3, dtype=jnp.int32)
+        sel = (cols[None, :] == tgt[:, None]).astype(dtype)
+        a_j = a_j + j_feat_old @ sel
 
         mat_n = jnp.eye(3, dtype=dtype)
         mat_n = mat_n.at[0, 2].set(-alpha_n)
@@ -286,6 +296,105 @@ def manage(
 # ---------------------------------------------------------------------------
 # feature initialization
 # ---------------------------------------------------------------------------
+
+
+def init_new_features(
+    dims: StateDims,
+    vision: VisionState,
+    cov: jnp.ndarray,
+    is_msckf: jnp.ndarray,  # (K,) MSCKF-SLAM vs standard inverse-depth init
+    h1: jnp.ndarray,  # (K, 3, D) MSCKF-SLAM column-space Jacobian
+    h2: jnp.ndarray,  # (K, 3, 3)
+    r1: jnp.ndarray,  # (K, 3)
+    features: jnp.ndarray,  # (K, 3) triangulated inverse depth
+    z_obs: jnp.ndarray,  # (K, 2) last observation (standard-init seed)
+    accept: jnp.ndarray,  # (K,) bool
+    correction: jnp.ndarray,  # (D,)
+    sigma_img: float,
+    rho_0: float,
+    sigma_rho_0: float,
+):
+    """Batched insertion of ALL accepted new features in candidate order.
+
+    One covariance sandwich replaces the reference's sequential inserts
+    (``state_manager.cpp:151-198``): with T = I whose new-slot rows are
+    G_i = -H2^-1 H1 (MSCKF-SLAM) or 0 (standard), the sequential result is
+    exactly  T P T^T + blkdiag(W_i)  because H1 has zero columns at every
+    feature slot, so later inserts' cross-covariance against earlier ones
+    is G_j P G_i^T — the (slot_j, slot_i) block of the sandwich. Verified
+    against the sequential oracle in tests/test_feature_init.py.
+
+    Candidate order also matches ``track_manager.insert_new_slam_tracks``
+    slot assignment (type-segregated sequential insertion would not).
+    """
+    m, n = dims.n_poses, dims.n_features
+    d = dims.d
+    dtype = cov.dtype
+    var_img = sigma_img * sigma_img
+    k = accept.shape[0]
+
+    order = jnp.cumsum(accept) - 1
+    slot = vision.n_valid_features + order
+    ok = accept & (slot < n)
+    n_ins = jnp.sum(ok).astype(jnp.int32)
+
+    # per-candidate insert quantities
+    eye3 = jnp.eye(3, dtype=dtype)
+    h2_safe = jnp.where(is_msckf[:, None, None], h2, eye3)
+    h2_inv = jnp.linalg.inv(h2_safe)
+    g_ms = -jnp.einsum("kab,kbd->kad", h2_inv, h1)  # (K, 3, D)
+    f_ms = (
+        features
+        + jnp.einsum("kad,d->ka", g_ms, correction)
+        + jnp.einsum("kab,kb->ka", h2_inv, r1)
+    )
+    w_ms = var_img * jnp.einsum("kab,kcb->kac", h2_inv, h2_inv)
+
+    f_std = jnp.concatenate(
+        [z_obs, jnp.full((k, 1), rho_0, dtype)], axis=-1
+    )
+    w_std = jnp.broadcast_to(
+        jnp.diag(jnp.asarray([var_img, var_img, sigma_rho_0 * sigma_rho_0], dtype)),
+        (k, 3, 3),
+    )
+
+    g_rows = jnp.where(is_msckf[:, None, None], g_ms, 0.0)
+    w_blk = jnp.where(is_msckf[:, None, None], w_ms, w_std)
+    f_new = jnp.where(is_msckf[:, None], f_ms, f_std)
+
+    # feature slot -> candidate index (-1 = untouched slot)
+    cand_by_slot = jnp.full((n,), -1, jnp.int32)
+    cand_by_slot = cand_by_slot.at[jnp.where(ok, slot, n)].set(
+        jnp.arange(k, dtype=jnp.int32), mode="drop"
+    )
+    is_new = cand_by_slot >= 0
+    safe_cand = jnp.maximum(cand_by_slot, 0)
+
+    t = jnp.eye(d, dtype=dtype)
+    feat_rows = t[15 + 6 * m :].reshape(n, 3, d)
+    feat_rows = jnp.where(is_new[:, None, None], g_rows[safe_cand], feat_rows)
+    t = t.at[15 + 6 * m :].set(feat_rows.reshape(3 * n, d))
+
+    cov1 = t @ cov @ t.T
+    w_slot = jnp.where(is_new[:, None, None], w_blk[safe_cand], 0.0)
+    rng_n = jnp.arange(n)
+    w_big = (
+        jnp.zeros((n, 3, n, 3), dtype)
+        .at[rng_n, :, rng_n, :]
+        .set(w_slot)
+        .reshape(3 * n, 3 * n)
+    )
+    cov1 = cov1.at[15 + 6 * m :, 15 + 6 * m :].add(w_big)
+
+    f_arr = jnp.where(is_new[:, None], f_new[safe_cand], vision.f_arr)
+    anchor = jnp.where(is_new, jnp.int32(m - 1), vision.anchor_idx)
+    vision = dataclasses.replace(
+        vision,
+        f_arr=f_arr,
+        anchor_idx=anchor,
+        n_valid_features=vision.n_valid_features + n_ins,
+    )
+    return vision, cov1
 
 
 def init_msckf_slam_features(

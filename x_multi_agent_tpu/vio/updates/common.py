@@ -59,12 +59,17 @@ def oc_project(a: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
 
 def scatter_block(h: jnp.ndarray, block: jnp.ndarray, col) -> jnp.ndarray:
     """Add a (rows, 3) block into the full-width Jacobian ``h`` at (possibly
-    traced) column offset ``col``."""
-    import jax.lax as lax
+    traced) column offset ``col``.
 
-    idx = (jnp.int32(0), jnp.asarray(col, jnp.int32))
-    cur = lax.dynamic_slice(h, idx, (h.shape[0], 3))
-    return lax.dynamic_update_slice(h, cur + block, idx)
+    Implemented as a one-hot selector matmul, NOT dynamic_update_slice: a
+    batch-varying dynamic update under vmap lowers to a serial while-loop
+    over the whole batch on TPU (observed: 480-iteration loops costing
+    ~3 ms/frame); the (rows,3)@(3,D) matmul stays a fully batched op."""
+    d = h.shape[1]
+    cols = jnp.arange(d, dtype=jnp.int32)
+    tgt = jnp.asarray(col, jnp.int32) + jnp.arange(3, dtype=jnp.int32)
+    sel = (cols[None, :] == tgt[:, None]).astype(h.dtype)  # (3, D)
+    return h + block @ sel
 
 
 def pose_pos_col(pose_idx, n_poses: int):
