@@ -45,7 +45,9 @@ def main():
     import __graft_entry__ as ge
 
     params = ge._params(small=False)
-    n_agents = int(os.environ.get("BENCH_AGENTS", "32"))
+    # default 128: per-chip throughput comes from batching agents (the
+    # filter matrices are tiny for a TPU); scaling is ~flat below ~64
+    n_agents = int(os.environ.get("BENCH_AGENTS", "128"))
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     n_imu = 10  # IMU samples between camera frames (200 Hz IMU / 20 Hz cam)
 

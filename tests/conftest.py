@@ -20,6 +20,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# NOTE: do NOT enable the persistent compilation cache here — deserializing
+# cached executables on the forced-multi-device CPU backend segfaults
+# (observed in jax compilation_cache.get_executable_and_time during the
+# suite). Compile time is paid per run instead.
+
 import numpy as np
 import pytest
 

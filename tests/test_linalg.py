@@ -70,3 +70,16 @@ def test_mahalanobis_gamma_unrolled_vs_solve(rng):
         got = float(linalg._gamma_chol_unrolled(jnp.asarray(s_in), res))
         want = float(np.asarray(res) @ np.linalg.solve(s_in, np.asarray(res)))
         np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_blocked_chol_and_neumann_solves(rng):
+    for n in (5, 16, 37, 151):
+        a = rng.normal(size=(3, n, n))
+        s = a @ np.swapaxes(a, -1, -2) + 2.0 * np.eye(n)
+        l = np.asarray(linalg.chol_blocked(jnp.asarray(s)))
+        want = np.linalg.cholesky(s)
+        np.testing.assert_allclose(l, want, rtol=1e-9, atol=1e-9)
+
+        b = rng.normal(size=(3, n, 7))
+        x = np.asarray(linalg.spd_solve(jnp.asarray(s), jnp.asarray(b)))
+        np.testing.assert_allclose(x, np.linalg.solve(s, b), rtol=1e-8, atol=1e-9)

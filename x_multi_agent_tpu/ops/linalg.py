@@ -130,6 +130,105 @@ def nullspace_project(
     return h0, res0, h1, (r1, h2)
 
 
+def tri_solve_lower(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L x = b for lower-triangular L via Neumann doubling.
+
+    Write L = D (I + N) with N = D^-1 L_strict strictly lower triangular,
+    hence nilpotent: N^n = 0. Then
+      (I + N)^-1 = (I - N)(I + N^2)(I + N^4)... (log2(n) factors, EXACT).
+    Every step is a batched MXU matmul — no TriangularSolve/Invert custom
+    call (XLA's blocked solves cost ~1 ms per call at EKF sizes on TPU).
+
+    l: (..., n, n), b: (..., n, r). Returns (..., n, r).
+    """
+    n = l.shape[-1]
+    d_inv = 1.0 / jnp.diagonal(l, axis1=-2, axis2=-1)
+    nmat = -(l * d_inv[..., :, None])  # -(I + N); diagonal becomes -1
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    nmat = jnp.where(row > col, nmat, 0.0)  # N0 = -N, strictly lower
+
+    x = b * d_inv[..., :, None]
+    x = x + nmat @ x  # (I + N0) x
+    k = 1
+    while k < n - 1:
+        nmat = nmat @ nmat
+        x = x + nmat @ x
+        k *= 2
+    return x
+
+
+def tri_solve_upper_t(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve L^T x = b for lower-triangular L (i.e. an upper solve)."""
+    lt = jnp.swapaxes(l, -1, -2)
+    n = l.shape[-1]
+    d_inv = 1.0 / jnp.diagonal(l, axis1=-2, axis2=-1)
+    nmat = -(lt * d_inv[..., :, None])
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    nmat = jnp.where(row < col, nmat, 0.0)
+
+    x = b * d_inv[..., :, None]
+    x = x + nmat @ x
+    k = 1
+    while k < n - 1:
+        nmat = nmat @ nmat
+        x = x + nmat @ x
+        k *= 2
+    return x
+
+
+def chol_blocked(a: jnp.ndarray, base: int = 16) -> jnp.ndarray:
+    """Lower Cholesky of SPD ``a`` by recursive half-splitting.
+
+    chol([[A11, .], [A21, A22]]) = [[L11, 0], [A21 L11^-T, chol(A22 -
+    L21 L21^T)]] — the off-diagonal solve uses the Neumann-doubling
+    triangular solve, so the whole factorization is batched matmuls plus
+    an unrolled ``base``-size tip. Replaces the XLA Cholesky custom call
+    (~0.5 ms per EKF-sized batch on TPU) in the hot path.
+
+    a: (..., n, n) SPD. Returns lower L with L L^T = a.
+    """
+    n = a.shape[-1]
+    if n <= base:
+        return _chol_unrolled(a)
+    h = (n + 1) // 2
+    a11 = a[..., :h, :h]
+    a21 = a[..., h:, :h]
+    a22 = a[..., h:, h:]
+    l11 = chol_blocked(a11, base)
+    # L21 = A21 L11^-T  <=>  L11 L21^T = A21^T
+    l21 = jnp.swapaxes(tri_solve_lower(l11, jnp.swapaxes(a21, -1, -2)), -1, -2)
+    s22 = a22 - l21 @ jnp.swapaxes(l21, -1, -2)
+    l22 = chol_blocked(s22, base)
+    top = jnp.concatenate([l11, jnp.zeros_like(a[..., :h, h:])], axis=-1)
+    bot = jnp.concatenate([l21, l22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _chol_unrolled(a: jnp.ndarray) -> jnp.ndarray:
+    """Compile-time-unrolled left-looking Cholesky for small static n."""
+    n = a.shape[-1]
+    dtype = a.dtype
+    rows = jnp.arange(n)
+    l = jnp.zeros_like(a)
+    for j in range(n):
+        lj = l[..., j, :]
+        pivot2 = a[..., j, j] - jnp.sum(lj * lj, axis=-1)
+        pivot = jnp.sqrt(jnp.maximum(pivot2, 1e-30))
+        col = (a[..., :, j] - jnp.einsum("...ik,...k->...i", l, lj)) / pivot[..., None]
+        col = jnp.where(rows > j, col, 0.0)
+        col = col.at[..., j].set(pivot)
+        l = l.at[..., :, j].set(col)
+    return l
+
+
+def spd_solve(s: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(L L^T)^-1 b for SPD ``s`` via blocked Cholesky + Neumann solves."""
+    l = chol_blocked(s)
+    return tri_solve_upper_t(l, tri_solve_lower(l, b))
+
+
 def qr_compress(
     h: jnp.ndarray, res: jnp.ndarray, noise_std: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -163,7 +262,7 @@ def qr_compress(
     s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-20))
     gs = g * s[:, None] * s[None, :]
     ridge = jnp.asarray(1e-6 if dtype == jnp.float32 else 1e-12, dtype)
-    l = jnp.linalg.cholesky(gs + ridge * jnp.eye(d + 1, dtype=dtype))
+    l = chol_blocked(gs + ridge * jnp.eye(d + 1, dtype=dtype))
     r_fact = l.T * (1.0 / s)[None, :]  # R with R^T R = G (+ ridge)
     r_fact = jnp.where(jnp.isfinite(r_fact), r_fact, 0.0)
     return r_fact[:d, :d], r_fact[:d, d]
@@ -203,9 +302,9 @@ def kalman_update(
     d = cov.shape[0]
     pht = cov @ h.T
     s = h @ pht + jnp.eye(h.shape[0], dtype=cov.dtype)
-    cho = jax.scipy.linalg.cho_factor(s)
-    # K = P H^T S^-1  via solving S K^T = H P
-    k = jax.scipy.linalg.cho_solve(cho, pht.T).T
+    # K = P H^T S^-1  via solving S K^T = H P (blocked-chol + Neumann
+    # triangular solves — pure matmuls, no TPU custom calls)
+    k = spd_solve(s, pht.T).T
     correction = k @ (res + h @ correction_total) - correction_total
     new_cov = symmetrize((jnp.eye(d, dtype=cov.dtype) - k @ h) @ cov)
     return correction, new_cov

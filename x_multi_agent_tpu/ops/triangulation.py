@@ -127,7 +127,11 @@ def triangulate_gn(
 
     big = jnp.asarray(1000.0, dtype)
     carry0 = (init, big, jnp.asarray(100.0, dtype), jnp.asarray(True))
-    (params, _, _, _), _ = jax.lax.scan(gn_step, carry0, None, length=max_iter)
+    # fully unrolled: a lax.scan lowers to an HLO while loop whose per-step
+    # dispatch overhead roughly doubled the GN cost on TPU at these sizes
+    (params, _, _, _), _ = jax.lax.scan(
+        gn_step, carry0, None, length=max_iter, unroll=True
+    )
     return params, i2
 
 
