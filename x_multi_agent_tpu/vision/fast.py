@@ -73,6 +73,7 @@ def detect(
     n_tiles_w: int,
     cap_per_tile: int,
     non_max_supp: bool = True,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Tiled FAST detection.
 
@@ -82,9 +83,14 @@ def detect(
     """
     h, w = img.shape
     th, tw = h // n_tiles_h, w // n_tiles_w
-    score = fast_score(img, threshold)
-    if non_max_supp:
-        score = nms3(score)
+    if use_pallas:
+        from . import pallas_fast
+
+        score = pallas_fast.fast_score_nms(img, threshold, nms=non_max_supp)
+    else:
+        score = fast_score(img, threshold)
+        if non_max_supp:
+            score = nms3(score)
 
     tiles = score.reshape(n_tiles_h, th, n_tiles_w, tw).transpose(0, 2, 1, 3)
     tiles = tiles.reshape(n_tiles_h * n_tiles_w, th * tw)

@@ -13,19 +13,35 @@ import jax.numpy as jnp
 _K5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
 
 
+def _sep_stencil(img: jnp.ndarray, kr, kc) -> jnp.ndarray:
+    """Separable small stencil as shift-and-add over static slices of an
+    edge-padded image. XLA's single-channel tiny convs lower ~20x off the
+    VPU roofline on TPU; shifted adds fuse into one elementwise pass."""
+    h, w = img.shape
+    rr = len(kr) // 2
+    rc = len(kc) // 2
+    x = jnp.pad(img, ((rr, rr), (0, 0)), mode="edge")
+    out = None
+    for i, k in enumerate(kr):
+        if k == 0.0:
+            continue
+        term = x[i : i + h, :] * jnp.asarray(k, img.dtype)
+        out = term if out is None else out + term
+    x = jnp.pad(out, ((0, 0), (rc, rc)), mode="edge")
+    out = None
+    for j, k in enumerate(kc):
+        if k == 0.0:
+            continue
+        term = x[:, j : j + w] * jnp.asarray(k, img.dtype)
+        out = term if out is None else out + term
+    return out
+
+
 def _sep_blur5(img: jnp.ndarray) -> jnp.ndarray:
     """Separable 5-tap Gaussian blur with edge replication (cv::pyrDown's
     BORDER_REFLECT_101 is approximated by edge replication)."""
-    k = _K5.astype(img.dtype)
-    x = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID"
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (2, 2)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID"
-    )[0, 0]
-    return x
+    k = [1.0 / 16, 4.0 / 16, 6.0 / 16, 4.0 / 16, 1.0 / 16]
+    return _sep_stencil(img, k, k)
 
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
@@ -71,20 +87,8 @@ def bilinear_sample(img: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 def scharr_gradients(img: jnp.ndarray):
     """(dx, dy) image gradients with the 3x3 Scharr operator (what
     cv::calcOpticalFlowPyrLK uses internally)."""
-    gk = jnp.asarray([3.0, 10.0, 3.0], img.dtype) / 32.0
-    dk = jnp.asarray([-1.0, 0.0, 1.0], img.dtype)
-
-    def sep(img, kr, kc):
-        x = jnp.pad(img, ((1, 1), (0, 0)), mode="edge")
-        x = jax.lax.conv_general_dilated(
-            x[None, None], kr[None, None, :, None], (1, 1), "VALID"
-        )[0, 0]
-        x = jnp.pad(x, ((0, 0), (1, 1)), mode="edge")
-        x = jax.lax.conv_general_dilated(
-            x[None, None], kc[None, None, None, :], (1, 1), "VALID"
-        )[0, 0]
-        return x
-
-    dx = sep(img, gk, dk)
-    dy = sep(img, dk, gk)
+    gk = [3.0 / 32, 10.0 / 32, 3.0 / 32]
+    dk = [-1.0, 0.0, 1.0]
+    dx = _sep_stencil(img, gk, dk)
+    dy = _sep_stencil(img, dk, gk)
     return dx, dy

@@ -5,10 +5,16 @@ Behavioral spec: reference ``Tracker::featureTracking`` using
 pyramid max_level, iterative refinement, minimum-eigenvalue quality gate
 (min_eig_thr) and border rejection.
 
-TPU design: all features solved simultaneously — patch gathers are batched
-bilinear samples; the 2x2 normal equations solve is closed-form; the
-per-level iteration is a lax.fori_loop. vmap over features, everything
-fixed shape.
+TPU design: all features solved simultaneously with PATCH-based memory
+access: because the LK window offsets are integers, the bilinear fraction
+is constant per feature, so each feature needs one contiguous
+(w+1)x(w+1) slab per image (a vmapped ``lax.dynamic_slice`` — slab
+gathers, not 441 scattered element gathers) and interpolation is four
+shifted static slices of the slab. Levels are edge-padded by
+``half_win + 1`` so border behavior matches clamped sampling. The 2x2
+normal-equation solve is closed form; iteration is a ``fori_loop``;
+everything is fixed shape. An equivalent hand Pallas kernel (explicit
+per-feature window DMAs) lives in pallas_lk.py.
 """
 from __future__ import annotations
 
@@ -17,7 +23,18 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .image import bilinear_sample, scharr_gradients
+from .image import scharr_gradients
+
+
+def _interp_patch(p: jnp.ndarray, fx, fy, w: int) -> jnp.ndarray:
+    """Constant-fraction bilinear interpolation of a (w+1, w+1) slab ->
+    (w, w) window."""
+    return (
+        p[0:w, 0:w] * (1 - fx) * (1 - fy)
+        + p[0:w, 1 : w + 1] * fx * (1 - fy)
+        + p[1 : w + 1, 0:w] * (1 - fx) * fy
+        + p[1 : w + 1, 1 : w + 1] * fx * fy
+    )
 
 
 def _track_level(
@@ -32,17 +49,36 @@ def _track_level(
     min_eig_thr: float,
 ):
     """One pyramid level of LK for all features. Returns (flow, ok)."""
-    k = pts_prev.shape[0]
     w = 2 * half_win + 1
-    off = jnp.arange(-half_win, half_win + 1, dtype=img_prev.dtype)
-    oy, ox = jnp.meshgrid(off, off, indexing="ij")
-    offsets = jnp.stack([ox, oy], axis=-1).reshape(-1, 2)  # (w*w, 2)
+    p = w + 1  # slab size: integer coords floor(base)..floor(base)+w
+    pad = half_win + 1
+    dtype = img_prev.dtype
+
+    # edge padding reproduces clamp-to-edge sampling for in-image points
+    pads = ((pad, pad), (pad, pad))
+    ip = jnp.pad(img_prev, pads, mode="edge")
+    ic = jnp.pad(img_cur, pads, mode="edge")
+    gx = jnp.pad(dx_prev, pads, mode="edge")
+    gy = jnp.pad(dy_prev, pads, mode="edge")
+    hp, wp = ip.shape
+
+    def slab(img, by, bx):
+        by = jnp.clip(by, 0, hp - p)
+        bx = jnp.clip(bx, 0, wp - p)
+        return jax.lax.dynamic_slice(img, (by, bx), (p, p))
+
+    def base(pt_xy):
+        bx = jnp.floor(pt_xy[0] - half_win)
+        by = jnp.floor(pt_xy[1] - half_win)
+        fx = pt_xy[0] - half_win - bx
+        fy = pt_xy[1] - half_win - by
+        return (by.astype(jnp.int32) + pad, bx.astype(jnp.int32) + pad, fx, fy)
 
     def one(pt, g):
-        grid_prev = pt[None, :] + offsets  # (w2, 2)
-        patch_prev = bilinear_sample(img_prev, grid_prev)
-        ix = bilinear_sample(dx_prev, grid_prev)
-        iy = bilinear_sample(dy_prev, grid_prev)
+        by, bx, fx, fy = base(pt)
+        patch_prev = _interp_patch(slab(ip, by, bx), fx, fy, w)
+        ix = _interp_patch(slab(gx, by, bx), fx, fy, w)
+        iy = _interp_patch(slab(gy, by, bx), fx, fy, w)
         gxx = jnp.sum(ix * ix)
         gxy = jnp.sum(ix * iy)
         gyy = jnp.sum(iy * iy)
@@ -54,18 +90,18 @@ def _track_level(
         det_safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
 
         def body(_, nu):
-            grid_cur = pt[None, :] + nu[None, :] + offsets
-            patch_cur = bilinear_sample(img_cur, grid_cur)
+            byc, bxc, fxc, fyc = base(pt + nu)
+            patch_cur = _interp_patch(slab(ic, byc, bxc), fxc, fyc, w)
             di = patch_prev - patch_cur
-            bx = jnp.sum(di * ix)
-            by = jnp.sum(di * iy)
-            dnu = jnp.stack([gyy * bx - gxy * by, gxx * by - gxy * bx]) / det_safe
+            bx_ = jnp.sum(di * ix)
+            by_ = jnp.sum(di * iy)
+            dnu = jnp.stack([gyy * bx_ - gxy * by_, gxx * by_ - gxy * bx_]) / det_safe
             return nu + dnu
 
-        nu = jax.lax.fori_loop(0, n_iters, body, g)
+        nu = jax.lax.fori_loop(0, n_iters, body, g.astype(dtype))
         return nu, ok
 
-    return jax.vmap(one)(pts_prev, guess)
+    return jax.vmap(one)(pts_prev.astype(dtype), guess)
 
 
 def track(
@@ -76,14 +112,21 @@ def track(
     half_win: int = 10,
     n_iters: int = 10,
     min_eig_thr: float = 1e-4,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Track points from the previous to the current pyramid.
 
     Returns (pts_cur (K,2), ok (K,)). Points out of bounds or failing the
     min-eigenvalue gate are flagged.
     """
+    if use_pallas:
+        from . import pallas_lk
+
+        level_fn = pallas_lk.track_level
+    else:
+        level_fn = _track_level
+
     n_levels = len(pyr_prev)
-    k = pts_prev.shape[0]
     flow = jnp.zeros_like(pts_prev)
     ok = valid
 
@@ -94,7 +137,7 @@ def track(
         pts_l = pts_prev / scale
         flow = flow * 2.0 if lvl < n_levels - 1 else flow / scale
         dx, dy = grads[lvl]
-        flow, lvl_ok = _track_level(
+        flow, lvl_ok = level_fn(
             pyr_prev[lvl], pyr_cur[lvl], dx, dy, pts_l, flow,
             half_win, n_iters, min_eig_thr,
         )

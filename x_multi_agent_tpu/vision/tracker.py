@@ -45,6 +45,10 @@ class TrackerParams(NamedTuple):
     # MULTI_UAV: compute binary descriptors at tracked points each frame
     # (reference computes ORB during detection, tracker.cpp:440-478)
     compute_descriptors: bool = False
+    # hand Pallas kernels for FAST (pallas_fast.py) and LK (pallas_lk.py);
+    # None = auto (on for TPU backends); the jnp/XLA formulations remain
+    # the CPU/test path
+    use_pallas: bool | None = None
 
 
 def _pytree_dataclass(cls):
@@ -75,6 +79,11 @@ class TrackerState:
         )
 
 
+def _resolve_pallas(flag: bool | None) -> bool:
+    """None = auto: hand kernels on TPU, jnp/XLA elsewhere."""
+    return jax.default_backend() == "tpu" if flag is None else flag
+
+
 def _detect_new(
     params: TrackerParams,
     img: jnp.ndarray,
@@ -88,6 +97,7 @@ def _detect_new(
     xy, score, valid = fast.detect(
         img, params.fast_threshold, params.n_tiles_h, params.n_tiles_w,
         params.max_feat_per_tile, params.non_max_supp,
+        use_pallas=_resolve_pallas(params.use_pallas),
     )
     h, w = img.shape
     m = params.margin
@@ -126,6 +136,7 @@ def track_frame(
         pyr_prev, pyr_cur, state.pts, live & state.has_prev,
         half_win=params.win_half, n_iters=params.lk_iters,
         min_eig_thr=params.min_eig_thr,
+        use_pallas=_resolve_pallas(params.use_pallas),
     )
     key = jax.random.PRNGKey(0)  # deterministic; hypotheses vary per frame
     key = jax.random.fold_in(key, state.next_id)
