@@ -11,7 +11,7 @@ import os
 import subprocess
 import sys
 
-AGENTS = [1, 8, 32, 128]
+AGENTS = [1, 8, 32, 128, 256, 512]
 
 rows = []
 for a in AGENTS:

@@ -30,6 +30,7 @@ from ..ekf.state import (
     correct_vision,
 )
 from ..ops import linalg
+from ..ops.triangulation import ivd_to_world
 from . import state_manager as sm
 from . import track_manager as tm
 from .updates import msckf, msckf_slam, range as range_upd, slam, solar
@@ -84,6 +85,62 @@ class FrameMeasurement(NamedTuple):
         )
 
 
+class FrameDebug(NamedTuple):
+    """Per-frame observability payload (reference GUI accessors
+    ``vio.cpp:328-341`` + the debug-image data of ``track_manager.cpp:638-731``).
+
+    All points are normalized undistorted coordinates (denormalize with the
+    camera for pixel-space rendering, ``utils/render.py``).
+    """
+
+    msckf_cur: jnp.ndarray  # (Km, 2) last obs of each MSCKF track
+    msckf_inlier: jnp.ndarray  # (Km,) passed the chi2 gate
+    msckf_valid: jnp.ndarray  # (Km,)
+    short_cur: jnp.ndarray  # (Ks, 2)
+    short_valid: jnp.ndarray  # (Ks,)
+    slam_cur: jnp.ndarray  # (N, 2) current obs of SLAM features
+    slam_valid: jnp.ndarray  # (N,)
+    new_cur: jnp.ndarray  # (Kn, 2)
+    new_valid: jnp.ndarray  # (Kn,)
+    new_is_msckf: jnp.ndarray  # (Kn,)
+    opp_cur: jnp.ndarray  # (Ko, 2) opportunistic pool current obs
+    opp_valid: jnp.ndarray  # (Ko,)
+    slam_cartesian: jnp.ndarray  # (N, 3) world-frame SLAM landmarks
+    slam_cart_valid: jnp.ndarray  # (N,)
+    facet_ids: jnp.ndarray  # (3,) SLAM indices of the LRF facet
+    facet_found: jnp.ndarray  # bool
+
+    @staticmethod
+    def zero(cfg: "VioConfig", dtype=jnp.float32) -> "FrameDebug":
+        t, n = cfg.tracks, cfg.dims.n_features
+        return FrameDebug(
+            msckf_cur=jnp.zeros((t.n_msckf, 2), dtype),
+            msckf_inlier=jnp.zeros((t.n_msckf,), bool),
+            msckf_valid=jnp.zeros((t.n_msckf,), bool),
+            short_cur=jnp.zeros((t.n_short, 2), dtype),
+            short_valid=jnp.zeros((t.n_short,), bool),
+            slam_cur=jnp.zeros((n, 2), dtype),
+            slam_valid=jnp.zeros((n,), bool),
+            new_cur=jnp.zeros((t.n_new_slam, 2), dtype),
+            new_valid=jnp.zeros((t.n_new_slam,), bool),
+            new_is_msckf=jnp.zeros((t.n_new_slam,), bool),
+            opp_cur=jnp.zeros((t.n_opp, 2), dtype),
+            opp_valid=jnp.zeros((t.n_opp,), bool),
+            slam_cartesian=jnp.zeros((n, 3), dtype),
+            slam_cart_valid=jnp.zeros((n,), bool),
+            facet_ids=jnp.full((3,), -1, jnp.int32),
+            facet_found=jnp.asarray(False),
+        )
+
+
+def _last_obs(obs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Last masked observation of each (K, M, 2) track window."""
+    m = obs.shape[1]
+    pos = jnp.arange(m)
+    last = jnp.max(jnp.where(mask, pos, -1), axis=1)
+    return jnp.take_along_axis(obs, jnp.maximum(last, 0)[:, None, None], axis=1)[:, 0]
+
+
 def _stack_rows(*rows_list):
     jac = jnp.concatenate([r.jac for r in rows_list], axis=0)
     res = jnp.concatenate([r.res for r in rows_list], axis=0)
@@ -112,6 +169,7 @@ def visual_update(
     meas: FrameMeasurement,
     store=None,
     collab_cfg=None,
+    return_debug: bool = False,
 ):
     """One full visual update at the measurement state.
 
@@ -233,8 +291,10 @@ def visual_update(
     # ---------------- 4. IEKF loop: stacked update -------------------------
     correction_total = jnp.zeros(d, dtype)
     ms_init = None
+    ms_info = None
+    facet_ids = facet_found = None
     for it in range(cfg.iekf_iter):
-        msckf_rows, _ = msckf.build(
+        msckf_rows, ms_info = msckf.build(
             frame.msckf_obs, frame.msckf_mask, vision.q_arr, vision.p_arr,
             cov, cfg.sigma_img, n, oc=cfg.obs_constrained,
         )
@@ -321,6 +381,31 @@ def visual_update(
     )
     slots = tm.insert_new_slam_tracks(slots, frame, accepted, n_feat_before)
 
+    out = (core, vision, cov, slots)
     if store is not None:
-        return core, vision, cov, slots, store, n_collab
-    return core, vision, cov, slots
+        out = out + (store, n_collab)
+    if return_debug:
+        cart = jax.vmap(
+            lambda f, a: ivd_to_world(f, vision.q_arr[a], vision.p_arr[a])
+        )(vision.f_arr, vision.anchor_idx)
+        feat_alive = jnp.arange(n) < vision.n_valid_features
+        debug = FrameDebug(
+            msckf_cur=_last_obs(frame.msckf_obs, frame.msckf_mask),
+            msckf_inlier=ms_info.inlier & frame.msckf_valid,
+            msckf_valid=frame.msckf_valid,
+            short_cur=_last_obs(frame.short_obs, frame.short_mask),
+            short_valid=frame.short_valid,
+            slam_cur=slam_z,
+            slam_valid=slam_has_obs,
+            new_cur=frame.new_obs[:, m - 1],
+            new_valid=frame.new_valid,
+            new_is_msckf=frame.new_is_msckf,
+            opp_cur=slots.opp_obs[:, m - 1],
+            opp_valid=slots.opp_mask[:, m - 1] & (slots.opp_id >= 0),
+            slam_cartesian=cart,
+            slam_cart_valid=feat_alive,
+            facet_ids=facet_ids,
+            facet_found=facet_found,
+        )
+        out = out + (debug,)
+    return out

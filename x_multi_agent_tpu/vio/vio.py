@@ -135,11 +135,37 @@ def process_matches(
     return fs, slots, applied
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def process_matches_debug(
+    params: VioParams,
+    fs: FilterState,
+    slots: tm.TrackSlots,
+    meas_time,
+    meas: pipeline.FrameMeasurement,
+):
+    """Like :func:`process_matches` but also returns a
+    :class:`pipeline.FrameDebug` observability payload (reference GUI data,
+    ``vio.cpp:328-341``)."""
+
+    def update_fn(core, vision, cov, aux):
+        core, vision, cov, slots, dbg = pipeline.visual_update(
+            params.cfg, core, vision, cov, aux[0], meas, return_debug=True
+        )
+        return core, vision, cov, (slots, dbg)
+
+    dbg0 = pipeline.FrameDebug.zero(params.cfg, params.jdtype)
+    fs, (slots, dbg), applied = ekf_mod.process_update_aux(
+        params.ekf_params, fs, meas_time, update_fn, (slots, dbg0)
+    )
+    return fs, slots, applied, dbg
+
+
 class VIO:
     """Stateful convenience wrapper (one agent). Mirrors the reference L4
     facade; all compute is in the jitted functions above."""
 
-    def __init__(self, params: VioParams = VioParams(), self_init: bool = False):
+    def __init__(self, params: VioParams = VioParams(), self_init: bool = False,
+                 debug: bool = False):
         self.params = params
         self.fs: Optional[FilterState] = None
         self.slots: Optional[tm.TrackSlots] = None
@@ -147,6 +173,9 @@ class VIO:
         self._self_init = self_init
         self._last_range = None
         self._last_sun = None
+        self._debug = debug
+        self.last_debug: Optional[pipeline.FrameDebug] = None
+        self._last_matches: Optional[tm.Matches] = None
 
     # -- setup / init -------------------------------------------------------
 
@@ -273,6 +302,7 @@ class VIO:
                 valid=jnp.pad(matches.valid, (0, pad)),
                 desc=jnp.pad(matches.desc, ((0, pad), (0, 0))),
                 desc_valid=jnp.pad(matches.desc_valid, (0, pad)),
+                tile=jnp.pad(matches.tile, (0, pad), constant_values=-1),
             )
         elif jt > jm:
             matches = jax.tree.map(lambda x: x[:jm], matches)
@@ -297,9 +327,17 @@ class VIO:
                 sun_active=jnp.asarray(True),
             )
             self._last_sun = None
-        self.fs, self.slots, applied = process_matches(
-            self.params, self.fs, self.slots, t, meas
-        )
+        self._last_matches = matches
+        if self._debug:
+            self.fs, self.slots, applied, dbg = process_matches_debug(
+                self.params, self.fs, self.slots, t, meas
+            )
+            if bool(applied):  # dropped updates keep the last real payload
+                self.last_debug = dbg
+        else:
+            self.fs, self.slots, applied = process_matches(
+                self.params, self.fs, self.slots, t, meas
+            )
         return bool(applied)
 
     # -- telemetry -------------------------------------------------------------
@@ -309,6 +347,38 @@ class VIO:
 
     def anchor_state(self) -> CoreState:
         return rb.get_slot(self.fs.buffer, self.fs.anchor_buf_idx)
+
+    def get_msckf_tracks(self):
+        """MSCKF inlier/outlier observation lists of the last visual update
+        (reference ``VIO::getMsckfTracks``-style GUI accessors,
+        ``vio.cpp:338-341``). Returns (inlier_pts, outlier_pts) as numpy
+        (K, 2) normalized coordinates; requires ``debug=True``."""
+        d = self.last_debug
+        if d is None:
+            return np.zeros((0, 2)), np.zeros((0, 2))
+        pts = np.asarray(d.msckf_cur)
+        valid = np.asarray(d.msckf_valid, bool)
+        inl = np.asarray(d.msckf_inlier, bool)
+        return pts[valid & inl], pts[valid & ~inl]
+
+    def get_slam_features_cartesian(self):
+        """World-frame SLAM landmark estimates (reference
+        ``computeSLAMCartesianFeaturesForState``, ``state_manager.cpp:232-271``
+        exposed at ``vio.cpp:328-332``). Returns numpy (n_valid, 3);
+        requires ``debug=True``."""
+        d = self.last_debug
+        if d is None:
+            return np.zeros((0, 3))
+        return np.asarray(d.slam_cartesian)[np.asarray(d.slam_cart_valid, bool)]
+
+    def render_debug_image(self, img, camera=None):
+        """Annotated feature-class debug image of the last update
+        (reference ``track_manager.cpp:638-731``)."""
+        from ..utils import render
+
+        if self.last_debug is None:
+            return render.to_rgb(img)
+        return render.draw_track_classes(img, self.last_debug, camera)
 
 
 def _quat_from_two_vectors(a: np.ndarray, b: np.ndarray) -> np.ndarray:
