@@ -49,3 +49,27 @@ timeit("inv (480,3,3)", jnp.linalg.inv, small3)
 timeit("matmul (32,151,151)@(32,151,151)", lambda x: jnp.einsum("bij,bjk->bik", x, x), spd)
 timeit("solve_triangular (32,151,151)",
        lambda s: jax.scipy.linalg.solve_triangular(jnp.tril(s), jnp.ones((B, D, 8), jnp.float32), lower=True), spd)
+
+# --- custom-call-free paths vs native, at bench batch (128 agents) ---
+from x_multi_agent_tpu.ops import linalg as xl
+
+B2 = 128
+a2 = jnp.asarray(rng.normal(size=(B2, D, D)), jnp.float32)
+spd2 = jnp.einsum("bij,bkj->bik", a2, a2) + 10.0 * jnp.eye(D, dtype=jnp.float32)
+rhs = jnp.asarray(rng.normal(size=(B2, D, D)), jnp.float32)
+
+timeit("xl.chol_blocked (128,151,151)", jax.vmap(xl.chol_blocked), spd2)
+timeit("xl.spd_solve (128,151,151)x151", jax.vmap(xl.spd_solve), spd2, rhs)
+timeit("native chol (128,151,151)", jnp.linalg.cholesky, spd2)
+
+
+def native_spd_solve(s, b):
+    return jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(s), True), b)
+
+
+timeit("native cho_solve (128,151,151)x151", jax.vmap(native_spd_solve), spd2, rhs)
+
+l2 = jnp.linalg.cholesky(spd2)
+timeit("xl.tri_solve_lower (128)", jax.vmap(xl.tri_solve_lower), l2, rhs)
+timeit("native solve_triangular (128)",
+       lambda l, b: jax.scipy.linalg.solve_triangular(l, b, lower=True), l2, rhs)

@@ -130,7 +130,7 @@ def nullspace_project(
     return h0, res0, h1, (r1, h2)
 
 
-def tri_solve_lower(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _tri_solve_lower_neumann(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve L x = b for lower-triangular L via Neumann doubling.
 
     Write L = D (I + N) with N = D^-1 L_strict strictly lower triangular,
@@ -138,6 +138,8 @@ def tri_solve_lower(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
       (I + N)^-1 = (I - N)(I + N^2)(I + N^4)... (log2(n) factors, EXACT).
     Every step is a batched MXU matmul — no TriangularSolve/Invert custom
     call (XLA's blocked solves cost ~1 ms per call at EKF sizes on TPU).
+    Cost is ~log2(n) full (n,n) matmuls, so this serves as the small-n tip
+    of the recursive :func:`tri_solve_lower`.
 
     l: (..., n, n), b: (..., n, r). Returns (..., n, r).
     """
@@ -158,7 +160,7 @@ def tri_solve_lower(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def tri_solve_upper_t(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _tri_solve_upper_t_neumann(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve L^T x = b for lower-triangular L (i.e. an upper solve)."""
     lt = jnp.swapaxes(l, -1, -2)
     n = l.shape[-1]
@@ -176,6 +178,37 @@ def tri_solve_upper_t(l: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         x = x + nmat @ x
         k *= 2
     return x
+
+
+def tri_solve_lower(l: jnp.ndarray, b: jnp.ndarray, base: int = 32) -> jnp.ndarray:
+    """Solve L x = b for lower-triangular L, matmul-only: recursive
+    half-splitting
+      x1 = L11^-1 b1 ;  x2 = L22^-1 (b2 - L21 x1)
+    with the Neumann-doubling tip at n <= base. ~n^3/2 FLOPs vs the
+    ~log2(n) * n^3 of full-size doubling (~8x fewer at the EKF's n=150),
+    still with no TriangularSolve custom call.
+    """
+    n = l.shape[-1]
+    if n <= base:
+        return _tri_solve_lower_neumann(l, b)
+    h = (n + 1) // 2
+    x1 = tri_solve_lower(l[..., :h, :h], b[..., :h, :], base)
+    b2 = b[..., h:, :] - l[..., h:, :h] @ x1
+    x2 = tri_solve_lower(l[..., h:, h:], b2, base)
+    return jnp.concatenate([x1, x2], axis=-2)
+
+
+def tri_solve_upper_t(l: jnp.ndarray, b: jnp.ndarray, base: int = 32) -> jnp.ndarray:
+    """Solve L^T x = b for lower-triangular L, by the same recursive scheme:
+    with U = L^T,  x2 = U22^-1 b2 ;  x1 = U11^-1 (b1 - U12 x2)."""
+    n = l.shape[-1]
+    if n <= base:
+        return _tri_solve_upper_t_neumann(l, b)
+    h = (n + 1) // 2
+    x2 = tri_solve_upper_t(l[..., h:, h:], b[..., h:, :], base)
+    b1 = b[..., :h, :] - jnp.swapaxes(l[..., h:, :h], -1, -2) @ x2
+    x1 = tri_solve_upper_t(l[..., :h, :h], b1, base)
+    return jnp.concatenate([x1, x2], axis=-2)
 
 
 def chol_blocked(a: jnp.ndarray, base: int = 16) -> jnp.ndarray:
@@ -224,7 +257,15 @@ def _chol_unrolled(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def spd_solve(s: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(L L^T)^-1 b for SPD ``s`` via blocked Cholesky + Neumann solves."""
+    """(L L^T)^-1 b for SPD ``s``.
+
+    Custom-call-free: blocked Cholesky + recursive triangular solves.
+    Safe here because the whitened innovation S = H P H^T + I is bounded
+    below by I, so Cholesky pivots are >= 1 and the Neumann tips of the
+    recursive solves cannot amplify through near-zero pivots (unlike the
+    near-singular equilibrated Gram in qr_compress, which uses the native
+    factorization — see there).
+    """
     l = chol_blocked(s)
     return tri_solve_upper_t(l, tri_solve_lower(l, b))
 
@@ -262,7 +303,11 @@ def qr_compress(
     s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-20))
     gs = g * s[:, None] * s[None, :]
     ridge = jnp.asarray(1e-6 if dtype == jnp.float32 else 1e-12, dtype)
-    l = chol_blocked(gs + ridge * jnp.eye(d + 1, dtype=dtype))
+    # native Cholesky: the equilibrated Gram can be near-singular (ridge
+    # floor), where the Neumann-doubling factorization amplifies 1/pivot
+    # quadratically per doubling level and corrupts the compressed rows
+    # (observed in the thermal e2e test)
+    l = jnp.linalg.cholesky(gs + ridge * jnp.eye(d + 1, dtype=dtype))
     r_fact = l.T * (1.0 / s)[None, :]  # R with R^T R = G (+ ridge)
     r_fact = jnp.where(jnp.isfinite(r_fact), r_fact, 0.0)
     return r_fact[:d, :d], r_fact[:d, d]

@@ -63,19 +63,26 @@ def _permute_cov(cov, idx, zero):
     return out
 
 
+def _perm_matrix(idx, zero, d, dtype):
+    """The (D, D) matrix equivalent of :func:`_permute_cov`:
+    ``P @ cov @ P.T == _permute_cov(cov, idx, zero)``. One-hot rows keep the
+    permutation exact in f32 and MXU-friendly (a batched gather of a
+    150x150 covariance lowers to serialized dynamic-slices on TPU and
+    dominated the state-management stage)."""
+    p = (idx[:, None] == jnp.arange(d)[None, :]).astype(dtype)
+    return jnp.where(zero[:, None], jnp.zeros((), dtype), p)
+
+
 # ---------------------------------------------------------------------------
 # lost feature removal
 # ---------------------------------------------------------------------------
 
 
-def remove_features(
-    dims: StateDims, vision: VisionState, cov: jnp.ndarray, lost: jnp.ndarray
-) -> Tuple[VisionState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Excise lost SLAM features; compact survivors to the front.
-
-    Returns (vision, cov, perm, n_keep) — apply ``perm``/``n_keep`` to the
-    track slots too so slot alignment is preserved.
-    """
+def _remove_features_t(
+    dims: StateDims, vision: VisionState, lost: jnp.ndarray, dtype
+):
+    """Vision-state part of lost-feature excision + its (D, D) covariance
+    transform. Returns (vision, t, perm, n_keep)."""
     n = dims.n_features
     active = jnp.arange(n) < vision.n_valid_features
     keep = active & ~lost
@@ -87,11 +94,24 @@ def remove_features(
     anchor = jnp.where(keep_sorted, vision.anchor_idx[perm], -1)
     feat_map = jnp.where(keep_sorted, perm, -1)
     idx, zero = _full_index_map(dims, feat_map=feat_map)
-    cov = _permute_cov(cov, idx, zero)
+    t = _perm_matrix(idx, zero, dims.d, dtype)
 
     vision = dataclasses.replace(
         vision, f_arr=f_arr, anchor_idx=anchor, n_valid_features=n_keep.astype(jnp.int32)
     )
+    return vision, t, perm, n_keep
+
+
+def remove_features(
+    dims: StateDims, vision: VisionState, cov: jnp.ndarray, lost: jnp.ndarray
+) -> Tuple[VisionState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Excise lost SLAM features; compact survivors to the front.
+
+    Returns (vision, cov, perm, n_keep) — apply ``perm``/``n_keep`` to the
+    track slots too so slot alignment is preserved.
+    """
+    vision, t, perm, n_keep = _remove_features_t(dims, vision, lost, cov.dtype)
+    cov = t @ cov @ t.T
     return vision, cov, perm, n_keep
 
 
@@ -100,14 +120,11 @@ def remove_features(
 # ---------------------------------------------------------------------------
 
 
-def reparametrize_features(
-    dims: StateDims, vision: VisionState, cov: jnp.ndarray
-) -> Tuple[VisionState, jnp.ndarray]:
-    """Re-anchor features anchored at window slot 0 to the newest slot M-1
-    (runs right before the window slides)."""
+def _reparametrize_t(dims: StateDims, vision: VisionState, dtype):
+    """Vision-state part of anchor reparametrization + its (D, D) Jacobian.
+    Returns (vision, jmat)."""
     m, n = dims.n_poses, dims.n_features
     d = dims.d
-    dtype = cov.dtype
 
     active = jnp.arange(n) < vision.n_valid_features
     needs = active & (vision.anchor_idx == 0)
@@ -177,9 +194,18 @@ def reparametrize_features(
     feat_rows = jmat[15 + 6 * m :].reshape(n, 3, d)
     feat_rows = jnp.where(needs[:, None, None], rows_all, feat_rows)
     jmat = jmat.at[15 + 6 * m :].set(feat_rows.reshape(3 * n, d))
-    cov = jmat @ cov @ jmat.T
 
     vision = dataclasses.replace(vision, f_arr=f_arr, anchor_idx=anchor)
+    return vision, jmat
+
+
+def reparametrize_features(
+    dims: StateDims, vision: VisionState, cov: jnp.ndarray
+) -> Tuple[VisionState, jnp.ndarray]:
+    """Re-anchor features anchored at window slot 0 to the newest slot M-1
+    (runs right before the window slides)."""
+    vision, jmat = _reparametrize_t(dims, vision, cov.dtype)
+    cov = jmat @ cov @ jmat.T
     return vision, cov
 
 
@@ -188,13 +214,13 @@ def reparametrize_features(
 # ---------------------------------------------------------------------------
 
 
-def slide_window(
-    dims: StateDims, vision: VisionState, cov: jnp.ndarray
-) -> Tuple[VisionState, jnp.ndarray]:
+def _slide_t(dims: StateDims, vision: VisionState, dtype):
+    """Vision-state part of the window slide + its (D, D) transform (a
+    constant shift-and-zero permutation). Returns (vision, t)."""
     m = dims.n_poses
     pose_map = jnp.concatenate([jnp.arange(1, m), jnp.array([-1])])
     idx, zero = _full_index_map(dims, pose_map=pose_map)
-    cov = _permute_cov(cov, idx, zero)
+    t = _perm_matrix(idx, zero, dims.d, dtype)
 
     p_arr = jnp.concatenate([vision.p_arr[1:], jnp.zeros_like(vision.p_arr[:1])])
     q_arr = jnp.concatenate([vision.q_arr[1:], jnp.zeros_like(vision.q_arr[:1])])
@@ -212,6 +238,14 @@ def slide_window(
         anchor_idx=anchor,
         n_valid_poses=n_valid,
     )
+    return vision, t
+
+
+def slide_window(
+    dims: StateDims, vision: VisionState, cov: jnp.ndarray
+) -> Tuple[VisionState, jnp.ndarray]:
+    vision, t = _slide_t(dims, vision, cov.dtype)
+    cov = t @ cov @ t.T
     return vision, cov
 
 
@@ -220,19 +254,18 @@ def slide_window(
 # ---------------------------------------------------------------------------
 
 
-def augment_pose(
+def _augment_t(
     dims: StateDims,
     core: CoreState,
     vision: VisionState,
-    cov: jnp.ndarray,
     q_ic: jnp.ndarray,
     p_ic: jnp.ndarray,
-) -> Tuple[VisionState, jnp.ndarray]:
-    """Clone the current camera pose into window slot M-1 (the window is
-    right-aligned; the slide has already vacated and zeroed that slot)."""
+    dtype,
+):
+    """Vision-state part of pose augmentation + its (D, D) Jacobian.
+    Returns (vision, jmat)."""
     m = dims.n_poses
     d = dims.d
-    dtype = cov.dtype
     pos = m - 1  # static
 
     cam_q = camera_orientation(core, q_ic)
@@ -253,16 +286,30 @@ def augment_pose(
     # d(cam att err)/d(imu att err) = C(q_ic)^T
     jmat = jmat.at[row_q : row_q + 3, 6:9].set(lie.quat_to_rot(q_ic).T)
 
-    # target rows/cols are already zero after the slide; the sandwich fills
-    # them from the core covariance
-    cov1 = jmat @ cov @ jmat.T
     vision = dataclasses.replace(
         vision,
         p_arr=p_arr,
         q_arr=q_arr,
         n_valid_poses=jnp.minimum(vision.n_valid_poses + 1, m),
     )
-    return vision, cov1
+    return vision, jmat
+
+
+def augment_pose(
+    dims: StateDims,
+    core: CoreState,
+    vision: VisionState,
+    cov: jnp.ndarray,
+    q_ic: jnp.ndarray,
+    p_ic: jnp.ndarray,
+) -> Tuple[VisionState, jnp.ndarray]:
+    """Clone the current camera pose into window slot M-1 (the window is
+    right-aligned; the slide has already vacated and zeroed that slot).
+    The sandwich fills the (previously zeroed) new-pose rows/cols from the
+    core covariance."""
+    vision, jmat = _augment_t(dims, core, vision, q_ic, p_ic, cov.dtype)
+    cov = jmat @ cov @ jmat.T
+    return vision, cov
 
 
 # ---------------------------------------------------------------------------
@@ -282,14 +329,23 @@ def manage(
     """Reference ``StateManager::manage`` (state_manager.cpp:31-145).
 
     Returns (vision, cov, perm, n_keep).
+
+    The four covariance operations (excision, reparametrization Jacobian,
+    window-slide permutation, augmentation Jacobian) are composed into ONE
+    (D, D) transform and applied as a single sandwich ``T @ cov @ T.T`` —
+    algebraically identical to the sequential sandwiches, ~3x fewer big
+    matmuls and no serialized TPU gathers.
     """
-    vision, cov, perm, n_keep = remove_features(dims, vision, cov, lost)
+    dtype = cov.dtype
     # right-aligned window: reparametrize + slide run unconditionally;
     # during warmup no feature is anchored at slot 0 (invalid pose) so the
     # reparametrization is the identity and the slide shifts an empty slot.
-    vision, cov = reparametrize_features(dims, vision, cov)
-    vision, cov = slide_window(dims, vision, cov)
-    vision, cov = augment_pose(dims, core, vision, cov, q_ic, p_ic)
+    vision, t_rm, perm, n_keep = _remove_features_t(dims, vision, lost, dtype)
+    vision, j_rep = _reparametrize_t(dims, vision, dtype)
+    vision, t_sl = _slide_t(dims, vision, dtype)
+    vision, j_aug = _augment_t(dims, core, vision, q_ic, p_ic, dtype)
+    t = j_aug @ (t_sl @ (j_rep @ t_rm))
+    cov = t @ cov @ t.T
     return vision, cov, perm, n_keep
 
 
