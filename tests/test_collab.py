@@ -111,6 +111,31 @@ def test_two_agent_joint_msckf_ci_round(rng):
 
 
 @pytest.mark.slow
+def test_sharded_collab_round_matches_vmap():
+    """The mesh-sharded exchange round (all_gather of payloads over the
+    ``agents`` axis + local CI fusion, SURVEY §5.8) must equal the
+    single-chip vmap round bit-for-bit on the virtual CPU mesh."""
+    from x_multi_agent_tpu.parallel import mesh as pmesh
+
+    va, _ = run_agent((0.0, 0.0, 0.0), 1e-3)
+    vb, _ = run_agent((0.25, 0.0, 0.0), 0.5)
+    fs_stack = jax.tree.map(lambda x, y: jnp.stack([x, y]), va.fs, vb.fs)
+
+    ref_fs, ref_nm = collab.collaborative_round_jit(PARAMS, CCFG, fs_stack)
+
+    mesh = pmesh.make_agent_mesh(jax.devices()[:2])
+    round_fn = pmesh.sharded_collab_round(PARAMS, CCFG, mesh)
+    got_fs, got_nm = round_fn(fs_stack)
+
+    np.testing.assert_array_equal(np.asarray(got_nm), np.asarray(ref_nm))
+    for ref, got in zip(jax.tree.leaves(ref_fs), jax.tree.leaves(got_fs)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-12, atol=1e-12
+        )
+    assert int(np.asarray(got_nm).sum()) > 0
+
+
+@pytest.mark.slow
 def test_two_agent_ci_fusion_reduces_offset():
     # agent A: well-initialized; agent B: 0.25 m position offset with a
     # loose prior (its covariance knows). Both observe the same landmarks.

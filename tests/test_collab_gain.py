@@ -1,0 +1,20 @@
+"""Trajectory-level collaborative gain (reference headline metric:
+'improves trajectory estimates up to 46%', README.md:97-98). The degraded
+agent's full-trajectory ATE must drop substantially once periodic
+exchange rounds run, and the helper agent must stay accurate."""
+import pytest
+
+from x_multi_agent_tpu.utils.collab_eval import run_collab_gain
+from tests.test_collab import PARAMS, CCFG
+
+
+@pytest.mark.slow
+def test_collaborative_ate_gain():
+    res = run_collab_gain(PARAMS, CCFG)
+    assert res.n_matches > 0, "no cross-agent matches applied"
+    # solo: the init offset is gauge-unobservable, ATE stays ~offset-sized
+    assert res.ate_solo > 0.1, res
+    # collaborative: at least the reference's 46% headline gain
+    assert res.gain > 0.46, res
+    # the well-initialized helper is not dragged away by CI fusion
+    assert res.ate_helper < 0.1, res

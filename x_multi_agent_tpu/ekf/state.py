@@ -118,7 +118,11 @@ class VisionState:
     def zero(dims: StateDims, dtype=jnp.float32) -> "VisionState":
         return VisionState(
             p_arr=jnp.zeros((dims.n_poses, 3), dtype),
-            q_arr=jnp.zeros((dims.n_poses, 4), dtype),
+            # empty slots hold identity quaternions: correct() renormalizes
+            # every slot, and a zero quaternion would produce NaN there
+            q_arr=jnp.tile(
+                jnp.array([0.0, 0.0, 0.0, 1.0], dtype), (dims.n_poses, 1)
+            ),
             f_arr=jnp.zeros((dims.n_features, 3), dtype),
             anchor_idx=jnp.full((dims.n_features,), -1, jnp.int32),
             n_valid_poses=jnp.asarray(0, jnp.int32),

@@ -75,7 +75,7 @@ def sharded_step(params: vio_mod.VioParams, mesh: Mesh):
         mesh=mesh,
         in_specs=(aspec,) * 8,
         out_specs=(aspec, aspec, aspec),
-        # purely data-parallel step (no cross-agent collectives yet);
+        # purely data-parallel step (no cross-agent collectives);
         # vma checking currently mis-infers through the nested
         # vmap+scan+switch in the IMU path
         check_vma=False,
@@ -84,3 +84,50 @@ def sharded_step(params: vio_mod.VioParams, mesh: Mesh):
         return step(fs, slots, imu_times, imu_seqs, imu_w, imu_a, meas_time, meas)
 
     return jax.jit(_step)
+
+
+def sharded_collab_round(params: vio_mod.VioParams, ccfg, mesh: Mesh):
+    """One collaborative exchange round over the device mesh (SURVEY §5.8):
+    each device extracts its local agents' fixed-size payloads, the payload
+    stack is an ``all_gather`` over the ``agents`` axis (the ROS broadcast
+    of ``VIO::getDataToSend`` become an ICI collective), and CI fusion of
+    every peer stays local to each agent's device.
+
+    Semantically identical to the single-chip ``collab.collaborative_round``
+    (tested for equality on the virtual CPU mesh).
+
+    Returns jitted ``fs_stack -> (fs_stack, n_matches (A, A))``.
+    """
+    from . import collab
+
+    aspec = P("agents")
+    n_dev = mesh.devices.size
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(aspec,),
+        out_specs=(aspec, aspec),
+        check_vma=False,
+    )
+    def _round(fs_block):
+        blk = fs_block.head.shape[0]  # agents per device
+        a = n_dev * blk
+        my_dev = jax.lax.axis_index("agents")
+        payload_blk = jax.vmap(lambda fs: collab.extract_payload(params, fs))(
+            fs_block
+        )
+        payloads = jax.lax.all_gather(payload_blk, "agents", axis=0, tiled=True)
+        my_ids = my_dev * blk + jnp.arange(blk)
+
+        def one_agent(fs, my_id):
+            def peer_step(fs, b):
+                peer = jax.tree.map(lambda x: x[b], payloads)
+                fs, n = collab.fuse_with_peer(params, ccfg, fs, peer, b != my_id)
+                return fs, n
+
+            return jax.lax.scan(peer_step, fs, jnp.arange(a))
+
+        return jax.vmap(one_agent)(fs_block, my_ids)
+
+    return jax.jit(_round)

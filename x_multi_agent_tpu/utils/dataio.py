@@ -26,8 +26,21 @@ def _native():
     global _NATIVE
     if _NATIVE is not None:
         return _NATIVE
-    so = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libxio.so")
-    so = os.path.abspath(so)
+    native_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    )
+    so = os.path.join(native_dir, "libxio.so")
+    if not os.path.exists(so):
+        # build artifact, not checked in: compile on first use
+        src = os.path.join(native_dir, "xio.cpp")
+        if os.path.exists(src):
+            import subprocess
+
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                 "-o", so, src],
+                check=False, capture_output=True,
+            )
     if not os.path.exists(so):
         _NATIVE = False
         return False

@@ -223,7 +223,8 @@ def _slide_t(dims: StateDims, vision: VisionState, dtype):
     t = _perm_matrix(idx, zero, dims.d, dtype)
 
     p_arr = jnp.concatenate([vision.p_arr[1:], jnp.zeros_like(vision.p_arr[:1])])
-    q_arr = jnp.concatenate([vision.q_arr[1:], jnp.zeros_like(vision.q_arr[:1])])
+    q_id = jnp.zeros_like(vision.q_arr[:1]).at[0, 3].set(1.0)
+    q_arr = jnp.concatenate([vision.q_arr[1:], q_id])
     active = jnp.arange(dims.n_features) < vision.n_valid_features
     anchor = jnp.where(active, vision.anchor_idx - 1, vision.anchor_idx)
     # right-aligned window: sliding an *invalid* leading slot out keeps the

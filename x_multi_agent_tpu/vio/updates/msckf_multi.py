@@ -163,22 +163,18 @@ def apply_joint_msckf_ci_pairs(
         def do(args):
             core, vision, cov = args
             w_result = 1.0 / w0
-            # inflate the 3x3 diagonal blocks of the observing poses'
-            # position/attitude states (msckf_update.cpp:256-266)
-            slot_id = jnp.full((d,), -1, jnp.int32)
-            slot_id = slot_id.at[15 : 15 + 3 * m].set(jnp.arange(3 * m) // 3)
-            slot_id = slot_id.at[15 + 3 * m : 15 + 6 * m].set(
-                m + jnp.arange(3 * m) // 3
+            # Inflate the observing poses' position/attitude states
+            # (msckf_update.cpp:256-266). Congruence form sqrt(w_result) on
+            # involved rows+cols (not the reference's diagonal-blocks-only
+            # inflation) so ci_P stays PSD and H ci_P H^T matches the own
+            # term of S exactly — see multi_slam.py for the rationale.
+            pose_scaled = jnp.concatenate([omask, omask])  # (2m,) pos+att slots
+            scale = jnp.ones((d,), dtype)
+            sq = jnp.sqrt(jnp.asarray(w_result, dtype))
+            scale = scale.at[15 : 15 + 6 * m].set(
+                jnp.where(jnp.repeat(pose_scaled, 3), sq, 1.0)
             )
-            slot_scaled = jnp.concatenate([omask, omask])  # (2m,)
-            r_id = slot_id[:, None]
-            c_id = slot_id[None, :]
-            blkmask = (
-                (r_id == c_id)
-                & (r_id >= 0)
-                & slot_scaled[jnp.clip(r_id, 0, 2 * m - 1)]
-            )
-            ci_p = jnp.where(blkmask, cov * w_result, cov)
+            ci_p = cov * scale[:, None] * scale[None, :]
             corr, cov1 = ci_mod.apply_ci(cov, ci_p, h_own_proj, res_proj, s)
             return correct_core(core, corr), correct_vision(vision, corr, dims), cov1
 

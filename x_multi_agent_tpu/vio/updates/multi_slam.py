@@ -123,12 +123,22 @@ def apply_matches_pairs(
             core, vision, cov = args
             s, w_result = ci_mod.fuse_pairwise(cov, h, o_cov, oh, ci_slam_w)
             s = s + var_lm * jnp.eye(3, dtype=dtype)
-            # inflate own anchor + feature diagonal blocks (multi_slam_update.cpp:224-237)
-            ci_p = cov
+            # Inflate the own anchor + feature blocks (multi_slam_update.cpp:
+            # 224-237). Unlike the reference (diagonal blocks only), scale
+            # involved rows AND columns by sqrt(w_result): a congruence
+            # transform D P D, so ci_P stays PSD and H ci_P H^T ==
+            # w_result H P H^T == the own term of S exactly, which makes
+            # (I-KH) ci_P provably PSD. The reference's diagonal-only
+            # inflation leaves S ≺ H ci_P H^T by O(w) cross terms; applied
+            # sequentially over many matches that compounds into an
+            # indefinite covariance.
+            scale = jnp.ones((d,), dtype)
+            sq = jnp.sqrt(jnp.asarray(w_result, dtype))
             for col in (15 + 3 * a_idx, 15 + 3 * m + 3 * a_idx, 15 + 6 * m + 3 * fid):
-                idx = (jnp.asarray(col, jnp.int32), jnp.asarray(col, jnp.int32))
-                blk = jax.lax.dynamic_slice(ci_p, idx, (3, 3))
-                ci_p = jax.lax.dynamic_update_slice(ci_p, blk * w_result, idx)
+                scale = jax.lax.dynamic_update_slice(
+                    scale, jnp.full((3,), sq, dtype), (jnp.asarray(col, jnp.int32),)
+                )
+            ci_p = cov * scale[:, None] * scale[None, :]
             corr, cov1 = ci_mod.apply_ci(cov, ci_p, h, res, s)
             core1 = correct_core(core, corr)
             vision1 = correct_vision(vision, corr, dims)
