@@ -1,13 +1,19 @@
-"""Benchmark: per-agent EKF visual-update throughput on one chip.
+"""Benchmark: per-agent EKF visual-update throughput + image-pipeline
+frame rate on one chip.
 
-Runs the full fused per-frame program (track classification + state
-management + stacked MSCKF/SLAM update + feature init) at reference
-dimensions (M=15 poses, N=15 features, D=150 error state), batched over
-agents to fill the chip, plus the interleaved IMU propagation batch.
+Two programs are timed:
+  1. match-driven filter step (track classification + state management +
+     stacked MSCKF/SLAM update + feature init) at reference dimensions
+     (M=15 poses, N=15 features, D=150 error state), batched over agents,
+     with per-frame track churn (ids rotate: tracks die, new ones appear);
+  2. the FULL image pipeline: pyramid build + FAST detection + pyramidal
+     LK + RANSAC (Pallas/XLA kernels) + the same fused filter update, on
+     rendered 480x640 textured frames, batched over agents.
 
 Prints ONE JSON line:
   {"metric": "ekf_updates_per_s_per_chip", "value": N, "unit": "updates/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "frames_per_s_per_chip": N, "img_agents": N,
+   "batch1_update_latency_ms": N, ...}
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); its release
 builds target real-time on Jetson TX2, i.e. camera-rate (~20-30 Hz) visual
@@ -21,6 +27,7 @@ import time
 import numpy as np
 
 BASELINE_UPDATES_PER_S = 200.0
+BASELINE_FRAMES_PER_S = 30.0  # reference camera-rate real-time target
 
 
 def _enable_compile_cache():
@@ -33,30 +40,54 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
+def _match_inputs(params, n_agents, k, rng):
+    """Per-frame inputs with track churn: the id window rotates by 5 ids
+    per frame (5 tracks die, 5 appear), ~3% of matches drop out."""
+    import jax.numpy as jnp
+
+    from x_multi_agent_tpu.vio import pipeline
+    from x_multi_agent_tpu.vio import track_manager as tm
     import jax
 
-    _enable_compile_cache()
+    n_imu = 10
+    j = params.cfg.tracks.n_matches
+    t0 = k * n_imu * 0.005
+    times = jnp.asarray(
+        np.broadcast_to(t0 + np.arange(1, n_imu + 1) * 0.005, (n_agents, n_imu)),
+        jnp.float32,
+    )
+    seqs = jnp.broadcast_to(
+        jnp.arange(n_imu, dtype=jnp.int32) + k * n_imu, (n_agents, n_imu)
+    )
+    w = jnp.zeros((n_agents, n_imu, 3), jnp.float32)
+    a = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 9.81], jnp.float32), (n_agents, n_imu, 3)
+    )
+    ids = np.broadcast_to(np.arange(j, dtype=np.int32) + 5 * k, (n_agents, j))
+    valid = rng.random((n_agents, j)) > 0.03
+    matches = tm.Matches.of(
+        track_id=jnp.asarray(ids),
+        prev_pt=jnp.asarray(rng.normal(size=(n_agents, j, 2)) * 0.2, jnp.float32),
+        cur_pt=jnp.asarray(rng.normal(size=(n_agents, j, 2)) * 0.2, jnp.float32),
+        valid=jnp.asarray(valid),
+    )
+    meas = jax.vmap(
+        lambda m: pipeline.FrameMeasurement.from_matches(params.cfg, m)
+    )(matches)
+    return times, seqs, w, a, times[:, -1], meas
+
+
+def bench_matches(params, n_agents, n_iters):
+    import jax
     import jax.numpy as jnp
 
     from x_multi_agent_tpu.ekf import ekf as ekf_mod
     from x_multi_agent_tpu.vio import pipeline, vio as vio_mod
-    from x_multi_agent_tpu.vio import track_manager as tm
-    import __graft_entry__ as ge
-
-    params = ge._params(small=False)
-    # default 128: per-chip throughput comes from batching agents (the
-    # filter matrices are tiny for a TPU); scaling is ~flat below ~64
-    n_agents = int(os.environ.get("BENCH_AGENTS", "128"))
-    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
-    n_imu = 10  # IMU samples between camera frames (200 Hz IMU / 20 Hz cam)
 
     fs, slots = vio_mod.init_at_time(params, 0.0)
     stack = lambda x: jnp.broadcast_to(x, (n_agents,) + x.shape)
     fs = jax.tree.map(stack, fs)
     slots = jax.tree.map(stack, slots)
-
-    j = params.cfg.tracks.n_matches
     rng = np.random.default_rng(0)
 
     def one_agent(fs, slots, times, seqs, w, a, meas_time, meas):
@@ -71,36 +102,10 @@ def main():
         return fs, slots, applied
 
     step = jax.jit(jax.vmap(one_agent))
-
-    def frame_inputs(k):
-        t0 = k * n_imu * 0.005
-        times = jnp.asarray(
-            np.broadcast_to(t0 + np.arange(1, n_imu + 1) * 0.005, (n_agents, n_imu)),
-            jnp.float32,
-        )
-        seqs = jnp.broadcast_to(
-            jnp.arange(n_imu, dtype=jnp.int32) + k * n_imu, (n_agents, n_imu)
-        )
-        w = jnp.zeros((n_agents, n_imu, 3), jnp.float32)
-        a = jnp.broadcast_to(
-            jnp.asarray([0.0, 0.0, 9.81], jnp.float32), (n_agents, n_imu, 3)
-        )
-        matches = tm.Matches.of(
-            track_id=jnp.broadcast_to(jnp.arange(j, dtype=jnp.int32), (n_agents, j)),
-            prev_pt=jnp.asarray(rng.normal(size=(n_agents, j, 2)) * 0.2, jnp.float32),
-            cur_pt=jnp.asarray(rng.normal(size=(n_agents, j, 2)) * 0.2, jnp.float32),
-            valid=jnp.ones((n_agents, j), bool),
-        )
-        meas = jax.vmap(
-            lambda m: pipeline.FrameMeasurement.from_matches(params.cfg, m)
-        )(matches)
-        return times, seqs, w, a, times[:, -1], meas
-
-    # pregenerate all inputs on device so the timing loop measures the
-    # device program, not host-side data generation
-    inputs = [jax.tree.map(jnp.asarray, frame_inputs(k)) for k in range(n_iters + 1)]
-
-    # warmup / compile
+    inputs = [
+        jax.tree.map(jnp.asarray, _match_inputs(params, n_agents, k, rng))
+        for k in range(n_iters + 1)
+    ]
     fs, slots, _ = step(fs, slots, *inputs[0])
     jax.block_until_ready(fs.cov)
 
@@ -109,8 +114,145 @@ def main():
         fs, slots, _ = step(fs, slots, *inputs[k])
     jax.block_until_ready(fs.cov)
     elapsed = time.perf_counter() - t0
+    return n_agents * n_iters / elapsed
 
-    updates_per_s = n_agents * n_iters / elapsed
+
+def bench_batch1_latency(params, n_iters=50):
+    """Single-agent per-update latency (the reference's real-time claim is
+    per-agent on embedded CPUs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from x_multi_agent_tpu.ekf import ekf as ekf_mod
+    from x_multi_agent_tpu.vio import pipeline, vio as vio_mod
+
+    fs, slots = vio_mod.init_at_time(params, 0.0)
+    rng = np.random.default_rng(0)
+
+    def one_agent(fs, slots, times, seqs, w, a, meas_time, meas):
+        fs = ekf_mod.process_imu_batch_impl(params.ekf_params, fs, times, seqs, w, a)
+
+        def update_fn(core, vision, cov, slots):
+            return pipeline.visual_update(params.cfg, core, vision, cov, slots, meas)
+
+        fs, slots, applied = ekf_mod.process_update_aux_impl(
+            params.ekf_params, fs, meas_time, update_fn, slots
+        )
+        return fs, slots, applied
+
+    step = jax.jit(one_agent)
+    inputs = [
+        jax.tree.map(
+            lambda x: jnp.asarray(x)[0], _match_inputs(params, 1, k, rng)
+        )
+        for k in range(n_iters + 1)
+    ]
+    fs, slots, _ = step(fs, slots, *inputs[0])
+    jax.block_until_ready(fs.cov)
+    t0 = time.perf_counter()
+    for k in range(1, n_iters + 1):
+        fs, slots, _ = step(fs, slots, *inputs[k])
+    jax.block_until_ready(fs.cov)
+    return (time.perf_counter() - t0) / n_iters * 1e3  # ms
+
+
+def bench_image(params, n_agents, n_iters):
+    """Full image pipeline: tracker (pyramid + FAST + LK + RANSAC) + fused
+    filter update on rendered 480x640 frames."""
+    import jax
+    import jax.numpy as jnp
+
+    from x_multi_agent_tpu.ekf import ekf as ekf_mod
+    from x_multi_agent_tpu.utils import scene
+    from x_multi_agent_tpu.vio import pipeline, vio as vio_mod
+    from x_multi_agent_tpu.vision import camera as cam_mod, tracker as trk_mod
+    from x_multi_agent_tpu.vision.image import bilinear_sample
+
+    h, w = 480, 640
+    j = params.cfg.tracks.n_matches
+    tparams = trk_mod.TrackerParams(
+        budget=j, fast_threshold=12.0, n_feat_min=max(60, j // 3),
+        n_tiles_h=4, n_tiles_w=4, max_feat_per_tile=40,
+        block_half_length=12, margin=12, pyramid_depth=2, win_half=10,
+        lk_max_level=2, ransac_threshold_px=1.0,
+    )
+    cam = cam_mod.Camera.from_fractional(0.8, 0.8 * w / h, 0.5, 0.5, 0.0, w, h)
+
+    # rendered moving views over a textured scene (per-agent phase offsets)
+    tex = jnp.asarray(
+        scene.make_texture(0, size=2048).astype(np.float32)
+    )
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = jnp.stack([jnp.asarray(xx), jnp.asarray(yy)], axis=-1)
+
+    @jax.jit
+    def render(k):
+        def per_agent(aid):
+            dx = 700.0 + 23.0 * aid + 2.0 * k
+            dy = 700.0 + 17.0 * aid + 1.0 * k
+            return bilinear_sample(tex, grid + jnp.asarray([dx, dy]))
+
+        return jax.vmap(per_agent)(jnp.arange(n_agents, dtype=jnp.float32))
+
+    fs, slots = vio_mod.init_at_time(params, 0.0)
+    stack = lambda x: jnp.broadcast_to(x, (n_agents,) + x.shape)
+    fs = jax.tree.map(stack, fs)
+    slots = jax.tree.map(stack, slots)
+    tstate = trk_mod.TrackerState.zero(tparams, h, w, jnp.float32)
+    tstate = jax.tree.map(stack, tstate)
+
+    def one_agent(tstate, fs, slots, img, times, seqs, w_, a_, meas_time):
+        tstate, matches = trk_mod.track_frame(tparams, cam, tstate, img)
+        meas = pipeline.FrameMeasurement.from_matches(params.cfg, matches)
+        fs = ekf_mod.process_imu_batch_impl(
+            params.ekf_params, fs, times, seqs, w_, a_
+        )
+
+        def update_fn(core, vision, cov, slots):
+            return pipeline.visual_update(params.cfg, core, vision, cov, slots, meas)
+
+        fs, slots, applied = ekf_mod.process_update_aux_impl(
+            params.ekf_params, fs, meas_time, update_fn, slots
+        )
+        return tstate, fs, slots, applied
+
+    step = jax.jit(jax.vmap(one_agent))
+
+    rng = np.random.default_rng(0)
+    imu_inputs = [
+        jax.tree.map(jnp.asarray, _match_inputs(params, n_agents, k, rng)[:5])
+        for k in range(n_iters + 1)
+    ]
+    frames = [render(k) for k in range(n_iters + 1)]
+    jax.block_until_ready(frames[-1])
+
+    tstate, fs, slots, _ = step(tstate, fs, slots, frames[0], *imu_inputs[0])
+    jax.block_until_ready(fs.cov)
+    t0 = time.perf_counter()
+    for k in range(1, n_iters + 1):
+        tstate, fs, slots, _ = step(tstate, fs, slots, frames[k], *imu_inputs[k])
+    jax.block_until_ready(fs.cov)
+    elapsed = time.perf_counter() - t0
+    return n_agents * n_iters / elapsed
+
+
+def main():
+    import jax
+
+    _enable_compile_cache()
+
+    import __graft_entry__ as ge
+
+    params = ge._params(small=False)
+    n_agents = int(os.environ.get("BENCH_AGENTS", "128"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    img_agents = int(os.environ.get("BENCH_IMG_AGENTS", "16"))
+    img_iters = int(os.environ.get("BENCH_IMG_ITERS", "10"))
+
+    updates_per_s = bench_matches(params, n_agents, n_iters)
+    lat_ms = bench_batch1_latency(params)
+    frames_per_s = bench_image(params, img_agents, img_iters)
+
     print(
         json.dumps(
             {
@@ -118,6 +260,12 @@ def main():
                 "value": round(updates_per_s, 1),
                 "unit": "updates/s",
                 "vs_baseline": round(updates_per_s / BASELINE_UPDATES_PER_S, 2),
+                "frames_per_s_per_chip": round(frames_per_s, 1),
+                "frames_vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 2),
+                "img_agents": img_agents,
+                "img_resolution": "480x640",
+                "batch1_update_latency_ms": round(lat_ms, 3),
+                "agents": n_agents,
             }
         )
     )

@@ -84,9 +84,7 @@ def run(n_agents, donate):
     return ups
 
 
-import sys as _sys
-
-configs = _sys.argv[1:] or ["128:1"]
+configs = sys.argv[1:] or ["128:1"]
 for c in configs:
     n, d = c.split(":")
     run(int(n), bool(int(d)))

@@ -44,7 +44,7 @@ for f, t_cam in enumerate(sim.cam_t):
     while imu_i < len(sim.imu_t) and sim.imu_t[imu_i] <= t_cam + 1e-9:
         v.process_imu(sim.imu_t[imu_i], imu_i, sim.imu_w[imu_i], sim.imu_a[imu_i])
         imu_i += 1
-    matches = tm.Matches(
+    matches = tm.Matches.of(
         track_id=jnp.asarray(sim.match_id[f]),
         prev_pt=jnp.asarray(sim.match_prev[f]),
         cur_pt=jnp.asarray(sim.match_cur[f]),

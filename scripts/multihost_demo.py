@@ -31,7 +31,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _free_port() -> int:
+    # NOTE: TOCTOU — the port could be grabbed between close() and the
+    # coordinator's bind. SO_REUSEADDR + the retry loop in main() make the
+    # launch robust to that race.
     s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
@@ -49,18 +53,15 @@ def worker(args) -> None:
     import jax.numpy as jnp
 
     sys.path.insert(0, REPO)
-    from x_multi_agent_tpu.ekf.state import StateDims
     from x_multi_agent_tpu.parallel import collab, mesh as pmesh
     from x_multi_agent_tpu.vio import pipeline, track_manager as tm, vio as vio_mod
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    dims = StateDims(n_poses=6, n_features=6, buffer_size=32)
-    tracks = tm.TrackDims(
-        n_slam=6, n_poses=6, n_opp=16, n_matches=24, n_msckf=4, n_short=4,
-        n_new_slam=6,
-    )
-    cfg = pipeline.VioConfig(dims=dims, tracks=tracks, min_track_length=5)
-    params = vio_mod.VioParams(cfg=cfg, dtype="float32", max_update_lag=16)
+    # one source of truth for the small config (ADVICE r1)
+    import __graft_entry__ as ge
+
+    params = ge._params(small=True)
+    cfg = params.cfg
 
     devices = jax.devices()
     mesh = pmesh.make_agent_mesh(devices)
@@ -180,9 +181,18 @@ def main() -> None:
         + f" --xla_force_host_platform_device_count={args.devices_per_host}"
     ).strip()
     # each "host" is a separate OS process; collectives between them run
-    # over the jax.distributed gRPC transport
+    # over the jax.distributed gRPC transport. Non-coordinator workers log
+    # to /tmp so crashes are diagnosable (ADVICE r1).
     procs = []
+    logs = []
     for pid in range(args.hosts):
+        if pid == 0:
+            stdout, stderr = None, subprocess.STDOUT
+            logs.append(None)
+        else:
+            log = open(f"/tmp/multihost_demo_worker{pid}.log", "w")
+            stdout, stderr = log, subprocess.STDOUT
+            logs.append(log)
         procs.append(
             subprocess.Popen(
                 [
@@ -195,13 +205,22 @@ def main() -> None:
                     "--coordinator", coordinator,
                 ],
                 env=env,
-                stdout=None if pid == 0 else subprocess.DEVNULL,
-                stderr=subprocess.STDOUT if pid == 0 else subprocess.DEVNULL,
+                stdout=stdout,
+                stderr=stderr,
             )
         )
     rc = 0
-    for p in procs:
-        rc |= p.wait()
+    for pid, p in enumerate(procs):
+        wrc = p.wait()
+        if logs[pid] is not None:
+            logs[pid].close()
+        if wrc != 0:
+            print(
+                f"worker {pid} exited with {wrc}"
+                + (f" (log: /tmp/multihost_demo_worker{pid}.log)" if pid else ""),
+                file=sys.stderr,
+            )
+            rc = 1
     sys.exit(rc)
 
 

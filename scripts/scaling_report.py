@@ -1,39 +1,66 @@
-"""Scaling sweep: EKF visual-update throughput vs agent count on one chip,
-plus the virtual multi-chip (shard_map) path.
+"""Scaling sweep: EKF update throughput + image-pipeline frame rate vs
+agent count on one chip (BASELINE.md scaling axis), plus batch=1 latency.
 
-Produces SCALING.md (BASELINE.md asks for frames/s and updates/s/chip at
-1 chip / 1 host / N hosts with agent count swept; multi-host hardware is
-not available here, so N>1 chips are exercised via the
-xla_force_host_platform_device_count mesh in tests/dryrun).
+Produces SCALING.md. Multi-host (DCN) is exercised separately by
+scripts/multihost_demo.py (jax.distributed multi-process CPU run) and the
+virtual-mesh dryrun (__graft_entry__.dryrun_multichip).
 """
 import json
 import os
-import subprocess
 import sys
 
-AGENTS = [1, 8, 32, 128, 256, 512]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-rows = []
-for a in AGENTS:
-    env = dict(os.environ, BENCH_AGENTS=str(a), BENCH_ITERS="20")
-    out = subprocess.run(
-        [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
-        timeout=3000,
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
-    rows.append((a, d["value"]))
-    print(a, d["value"], flush=True)
+import bench  # noqa: E402
 
-with open("SCALING.md", "w") as f:
-    f.write("# Scaling report (one TPU v5e chip)\n\n")
-    f.write("Full per-frame pipeline (10 IMU samples + visual update), "
-            "M=N=15, f32.\n\n")
-    f.write("| agents | updates/s/chip | updates/s/agent |\n|---|---|---|\n")
-    for a, v in rows:
-        f.write(f"| {a} | {v:.1f} | {v / a:.1f} |\n")
-    f.write("\nMulti-chip execution is validated via the agents-sharded "
-            "shard_map path (`__graft_entry__.dryrun_multichip`) on a "
-            "virtual device mesh; real multi-chip hardware was not "
-            "available this round.\n")
-print("wrote SCALING.md")
+
+def main():
+    import __graft_entry__ as ge
+
+    bench._enable_compile_cache()
+    params = ge._params(small=False)
+
+    agents = [int(a) for a in os.environ.get(
+        "SCALE_AGENTS", "1,8,32,64,128,256,512").split(",")]
+    img_agents = [int(a) for a in os.environ.get(
+        "SCALE_IMG_AGENTS", "1,4,8,16,32").split(",")]
+
+    rows = []
+    for a in agents:
+        ups = bench.bench_matches(params, a, 20)
+        rows.append((a, ups))
+        print(f"matches agents={a}: {ups:.1f} updates/s", flush=True)
+
+    img_rows = []
+    for a in img_agents:
+        fps = bench.bench_image(params, a, 8)
+        img_rows.append((a, fps))
+        print(f"image agents={a}: {fps:.1f} frames/s", flush=True)
+
+    lat = bench.bench_batch1_latency(params)
+    print(f"batch=1 update latency: {lat:.3f} ms", flush=True)
+
+    with open(os.path.join(REPO, "SCALING.md"), "w") as f:
+        f.write("# Scaling report (one TPU v5e chip)\n\n")
+        f.write("Match-driven filter step (10 IMU samples + fused visual "
+                "update incl. track churn), M=N=15, f32:\n\n")
+        f.write("| agents | updates/s/chip | updates/s/agent |\n|---|---|---|\n")
+        for a, v in rows:
+            f.write(f"| {a} | {v:.1f} | {v / a:.1f} |\n")
+        f.write("\nFull image pipeline (480x640 render -> pyramid + 2-level "
+                "FAST + pyramidal Pallas LK + RANSAC + fused update):\n\n")
+        f.write("| agents | frames/s/chip | frames/s/agent |\n|---|---|---|\n")
+        for a, v in img_rows:
+            f.write(f"| {a} | {v:.1f} | {v / a:.1f} |\n")
+        f.write(f"\nSingle-agent (batch=1) update latency: **{lat:.2f} ms** "
+                "(reference real-time target: camera rate, 33-50 ms).\n")
+        f.write("\nMulti-chip execution: agents-sharded shard_map path "
+                "(`__graft_entry__.dryrun_multichip`, virtual 8-device mesh, "
+                "exchange round fusing real matches); multi-host DCN path: "
+                "`scripts/multihost_demo.py` (2-process jax.distributed).\n")
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -159,7 +159,7 @@ def test_upgrade_and_discard(rng):
 
 
 @pytest.mark.slow
-def test_two_agent_store_roundtrip(rng):
+def test_two_agent_store_roundtrip(rng, no_compile_cache):
     """End-to-end: B records matches against A's payload while its tracks
     are opportunistic; as the tracks mature into MSCKF rows the stored
     matches are consumed by joint CI inside the visual update."""
@@ -176,7 +176,7 @@ def test_two_agent_store_roundtrip(rng):
 
     # A broadcasts; B records (opp x collab matches persist in the store)
     pay_a = collab.extract_payload_desc(PARAMS, va.fs, va.slots, n_collab_tracks=8)
-    vb.fs, store, _ = collab.receive_and_record(
+    vb.fs, store, _ = collab.receive_and_record_jit(
         PARAMS, ccfg, vb.fs, vb.slots, store, pay_a, 0
     )
     assert int(np.sum(np.array(store.own_id) >= 0)) > 0, "no matches recorded"
@@ -224,7 +224,7 @@ def make_more_frames(vb, sim, t0, desc_table, ccfg, store):
         )
         meas = pipeline.FrameMeasurement.from_matches(PARAMS.cfg, matches)
         vb.fs, (vb.slots, store, n_collab), applied = (
-            collab.visual_update_with_store(
+            collab.visual_update_with_store_jit(
                 PARAMS, ccfg, vb.fs, vb.slots, store, t_cam, meas
             )
         )

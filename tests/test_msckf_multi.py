@@ -83,3 +83,22 @@ def test_joint_msckf_ci_reduces_offset(rng):
     assert np.isfinite(np.array(cov1)).all()
     np.testing.assert_allclose(np.array(cov1), np.array(cov1).T, atol=1e-9)
     assert err_after < 0.7 * err_before, (err_before, err_after)
+
+    # negative weight requests online N-way weight optimization (reference
+    # NLopt convention, ci.cpp:66-76); must stay finite and still correct
+    core2, vision2, cov2, n_app2 = msckf_multi.apply_joint_msckf_ci(
+        DIMS, core, vision, cov,
+        own_obs, own_mask, own_inlier, own_desc, own_desc_valid,
+        jnp.broadcast_to(jnp.asarray(p_peer), (p_max, M, 3)),
+        jnp.broadcast_to(jnp.asarray(q_peer), (p_max, M, 4)),
+        jnp.broadcast_to(peer_cov, (p_max, D, D)),
+        peer_trk_obs, peer_trk_mask, peer_trk_desc, peer_trk_desc_valid,
+        peer_valid=jnp.asarray([True, False]),
+        sigma_img=2e-3,
+        ci_msckf_w=-0.3,
+        oc=False,
+    )
+    assert int(n_app2) == 1
+    assert np.isfinite(np.array(cov2)).all()
+    err_opt = np.linalg.norm(np.array(vision2.p_arr) - (np.array(p_own) - offset))
+    assert err_opt < 0.7 * err_before, (err_before, err_opt)

@@ -165,3 +165,71 @@ def test_tracker_end_to_end_translation(rng):
     ids1 = set(np.array(m1.track_id)[np.array(m1.valid)].tolist())
     ids2 = set(np.array(m2.track_id)[np.array(m2.valid)].tolist())
     assert len(ids1 & ids2) >= 10
+
+
+def test_per_level_fast_detection_catches_coarse_corners():
+    """Reference detects FAST on every pyramid level (tracker.cpp:420-449):
+    large smooth structures have gradients too shallow for base-level FAST
+    but become sharp corners after pyrDown. pyramid_depth=1 (base only)
+    must miss them; pyramid_depth=2 must find them and tag the level."""
+    from scipy.ndimage import gaussian_filter
+
+    img = np.zeros((128, 128), np.float64)
+    img[40:90, 40:90] = 255.0
+    img = gaussian_filter(img, 6.0)  # edges spread over ~12 px
+
+    cam = cam_mod.Camera.from_fractional(0.5, 0.5, 0.5, 0.5, 0.0, 128, 128)
+
+    def detect(depth):
+        params = tracker.TrackerParams(
+            budget=64, n_feat_min=30, n_tiles_h=4, n_tiles_w=4,
+            max_feat_per_tile=10, block_half_length=8, margin=8,
+            fast_threshold=9.0, pyramid_depth=depth, lk_max_level=2,
+        )
+        st = tracker.TrackerState.zero(params, 128, 128, jnp.float64)
+        st, _ = tracker.track_frame(params, cam, st, jnp.asarray(img))
+        return st
+
+    st1 = detect(1)
+    assert int((st1.ids >= 0).sum()) == 0  # base-level FAST sees nothing
+
+    st2 = detect(2)
+    live = np.array(st2.ids) >= 0
+    assert live.sum() > 0
+    assert np.all(np.array(st2.levels)[live] == 1)  # found at level 1
+    # detected coords are in BASE-level pixels (scaled by 2^level), i.e.
+    # around the blurred square corners
+    pts = np.array(st2.pts)[live]
+    assert pts[:, 0].min() > 20 and pts[:, 0].max() < 110
+
+
+def test_match_carries_detection_level(rng):
+    """Matches report the pyramid level features were detected at."""
+    from scipy.ndimage import gaussian_filter
+
+    img0 = np.zeros((128, 128), np.float64)
+    img0[40:90, 40:90] = 255.0
+    img0 = gaussian_filter(img0, 6.0)
+    img0 = img0 + synth_image(rng, h=128, w=128) * 0.2
+
+    params = tracker.TrackerParams(
+        budget=64, n_feat_min=60, n_tiles_h=4, n_tiles_w=4,
+        max_feat_per_tile=10, block_half_length=6, margin=8,
+        fast_threshold=9.0, pyramid_depth=2, lk_max_level=2, win_half=7,
+    )
+    cam = cam_mod.Camera.from_fractional(0.5, 0.5, 0.5, 0.5, 0.0, 128, 128)
+    st = tracker.TrackerState.zero(params, 128, 128, jnp.float64)
+    st, _ = tracker.track_frame(params, cam, st, jnp.asarray(img0))
+    levels0 = np.array(st.levels)[np.array(st.ids) >= 0]
+    assert set(np.unique(levels0)) <= {0, 1}
+
+    yy, xx = np.mgrid[0:128, 0:128].astype(float)
+    img1 = np.array(
+        bilinear_sample(
+            jnp.asarray(img0),
+            jnp.stack([jnp.asarray(xx - 1.5), jnp.asarray(yy - 0.5)], -1),
+        )
+    )
+    st, m1 = tracker.track_frame(params, cam, st, jnp.asarray(img1))
+    lv = np.array(m1.level)[np.array(m1.valid)]
+    assert lv.size > 0 and set(np.unique(lv)) <= {0, 1}

@@ -65,6 +65,62 @@ def fuse_pairwise(
     return s, w_result
 
 
+def optimize_weights_nway(
+    m_own: jnp.ndarray,  # (r, r) own information-like H P^-1 H^T
+    m_others: jnp.ndarray,  # (K, r, r)
+    valid_other: jnp.ndarray,  # (K,)
+    w_fallback: float,
+    n_iters: int = 30,
+) -> jnp.ndarray:
+    """On-device replacement for the reference's NLopt COBYLA weight solve
+    (``CovarianceIntersection::solveW``, ``ci.cpp:143-190``): minimize
+    det((sum w_i M_i)^-1) — i.e. maximize logdet(sum w_i M_i) — over the
+    simplex sum w = 1, bounds [1e-4, 1].
+
+    Solver: the multiplicative fixed-point iteration
+        w_i <- w_i * tr(S^-1 M_i) / r,   S = sum w_j M_j
+    whose update *exactly* preserves sum w = 1 (sum_i w_i tr(S^-1 M_i) =
+    tr(S^-1 S) = r) and whose fixed points are the KKT points of the
+    problem (at optimality tr(S^-1 M_i) is equal for all active i).
+    Deterministic, fixed iteration count, jit/vmap friendly. Falls back to
+    the reference's fixed weights (w_0 = 1 - K*w, w_i = w) when the
+    iteration produces non-finite values (reference: NLopt failure ->
+    fixed weights, ci.cpp:70-73).
+
+    Returns w of shape (K+1,): [w_own, w_peer_0, ...]; invalid peers get 0.
+    """
+    dtype = m_own.dtype
+    k = m_others.shape[0]
+    r = m_own.shape[0]
+    # tiny ridge: padded/masked Jacobian rows make M rank-deficient
+    ridge = 1e-8 * jnp.eye(r, dtype=dtype)
+    m_stack = jnp.concatenate([m_own[None] + ridge, m_others + ridge], axis=0)
+    valid = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.asarray(valid_other, bool)]
+    )
+    m_stack = jnp.where(valid[:, None, None], m_stack, 0.0)
+    nv = jnp.sum(valid).astype(dtype)
+    w0 = jnp.where(valid, 1.0 / nv, 0.0).astype(dtype)
+
+    def body(_, w):
+        s = jnp.einsum("k,kij->ij", w, m_stack)
+        sinv = jnp.linalg.inv(s)
+        tr = jnp.einsum("ij,kji->k", sinv, m_stack)
+        w = w * tr / r
+        # project to the box [1e-4, 1] and renormalize over valid entries
+        w = jnp.where(valid, jnp.clip(w, 1e-4, 1.0), 0.0)
+        return w / jnp.sum(w)
+
+    w = jax.lax.fori_loop(0, n_iters, body, w0)
+
+    # fallback: the reference's fixed weights on failure
+    k_eff = jnp.sum(jnp.asarray(valid_other, bool)).astype(dtype)
+    w_fixed = jnp.where(valid, w_fallback, 0.0).astype(dtype)
+    w_fixed = w_fixed.at[0].set(1.0 - k_eff * w_fallback)
+    ok = jnp.all(jnp.isfinite(w)) & (w[0] > 0)
+    return jnp.where(ok, w, w_fixed)
+
+
 def fuse_nway(
     cov_own: jnp.ndarray,
     h_own: jnp.ndarray,

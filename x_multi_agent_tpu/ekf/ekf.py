@@ -116,6 +116,15 @@ def process_imu_impl(params: EkfParams, fs: FilterState, t, seq, w_m, a_m) -> Fi
     # accel spike filter: reuse last accel above threshold (ekf.cpp:119-128)
     spike = jnp.linalg.norm(a_m) > params.a_m_max
     a_use = jnp.where(spike & (fs.status == 2), tail.a_m, a_m)
+    # failure-detection counters (spike warning ekf.cpp:119-128; missing
+    # IMU sequence warning ekf.cpp:111-115)
+    active = fs.status == 2
+    seq_gap = active & (tail.seq >= 0) & (jnp.asarray(seq, jnp.int32) != tail.seq + 1)
+    fs = dataclasses.replace(
+        fs,
+        n_spikes=fs.n_spikes + jnp.where(spike & active, 1, 0).astype(jnp.int32),
+        n_seq_gaps=fs.n_seq_gaps + seq_gap.astype(jnp.int32),
+    )
 
     def standby(fs):
         # place IMU data on the init state; -> kInitialized (ekf.cpp:83-99)
@@ -206,6 +215,16 @@ def process_imu_batch_impl(
         src = jax.lax.associative_scan(jnp.maximum, jnp.where(good, idx, -1))
         a_use = jnp.where(
             (src >= 0)[:, None], a_b[jnp.maximum(src, 0)], tail.a_m
+        )
+
+        # failure-detection counters (ekf.cpp:111-128)
+        s_i = jnp.asarray(s_b, jnp.int32)
+        expected = jnp.concatenate([tail.seq[None] + 1, s_i[:-1] + 1])
+        gaps = jnp.sum((s_i != expected) & (tail.seq >= 0)).astype(jnp.int32)
+        fs = dataclasses.replace(
+            fs,
+            n_spikes=fs.n_spikes + jnp.sum(~good).astype(jnp.int32),
+            n_seq_gaps=fs.n_seq_gaps + gaps,
         )
 
         g = params.g_vec.astype(dtype)

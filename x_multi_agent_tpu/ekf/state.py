@@ -153,6 +153,10 @@ class FilterState:
     cov: jnp.ndarray  # (D, D) error covariance at the anchor time
     vision: VisionState
     status: jnp.ndarray  # int32: 0 kNotInitialized / 1 kStandBy / 2 kInitialized
+    # failure-detection counters (reference logs these as warnings:
+    # accel spikes ekf.cpp:119-128, missing IMU sequences ekf.cpp:111-115)
+    n_spikes: jnp.ndarray  # int32: accel spikes rejected so far
+    n_seq_gaps: jnp.ndarray  # int32: missing IMU messages detected so far
 
     @staticmethod
     def zero(dims: StateDims, dtype=jnp.float32) -> "FilterState":
@@ -167,6 +171,8 @@ class FilterState:
             cov=jnp.zeros((dims.d, dims.d), dtype),
             vision=VisionState.zero(dims, dtype),
             status=jnp.asarray(0, jnp.int32),
+            n_spikes=jnp.asarray(0, jnp.int32),
+            n_seq_gaps=jnp.asarray(0, jnp.int32),
         )
 
 

@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ekf import buffer as rb
 from ..ekf import ekf as ekf_mod
@@ -125,9 +126,18 @@ def fuse_with_peer_desc(
             m = dims.n_poses
             own_pts = slots.slam_obs[:, m - 1]
             peer_pts = peer.slam_obs[other_idx]
+            # fresh hypothesis set per call: fold the peer snapshot time and
+            # the receiver's buffer head into the key (a fixed key would
+            # reuse one degenerate hypothesis set forever)
+            key = jax.random.fold_in(
+                jax.random.fold_in(
+                    jax.random.PRNGKey(7),
+                    jnp.asarray(peer.time, jnp.float32).view(jnp.int32),
+                ),
+                fs.head,
+            )
             inl, _ = fundamental_ransac(
-                own_pts, peer_pts, ok, jax.random.PRNGKey(7),
-                ccfg.pr_ransac_thr,
+                own_pts, peer_pts, ok, key, ccfg.pr_ransac_thr,
             )
             ok = ok & inl
         n = dims.n_features
@@ -264,8 +274,11 @@ def should_select_keyframe(
     core = rb.get_slot(fs.buffer, fs.anchor_buf_idx)
     vision = fs.vision
     rho = vision.f_arr[:, 2]
-    usable = (jnp.abs(rho) > 1e-3) & vision.feature_mask(params.cfg.dims)
-    depth_sum = jnp.sum(jnp.where(usable, 1.0 / jnp.maximum(jnp.abs(rho), 1e-3), 0.0))
+    # reference gate: signed rho > 0.001 (< 0.001 -> farther than 1000 m),
+    # depth averaged over ALL N feature slots (vio_updater.cpp:456-464 —
+    # the variable is *named* med_depth but is a sum/N average)
+    usable = (rho > 1e-3) & vision.feature_mask(params.cfg.dims)
+    depth_sum = jnp.sum(jnp.where(usable, 1.0 / jnp.maximum(rho, 1e-3), 0.0))
     med_depth = depth_sum / jnp.maximum(vision.f_arr.shape[0], 1)
     diff = jnp.linalg.norm(core.p - last_kf_pos)
     n_tracks = jnp.sum(slots.slam_id >= 0) + jnp.sum(slots.opp_id >= 0)
@@ -275,6 +288,100 @@ def should_select_keyframe(
         & (diff / jnp.maximum(med_depth, 1e-6) > 0.15)
         & (n_tracks > 10)
     )
+
+
+class KfMeta(NamedTuple):
+    """Keyframe-selection bookkeeping (reference ``VioUpdater`` members
+    ``last_pose_`` / ``frames_min_distance_``, vio_updater.cpp:451-484)."""
+
+    last_kf_pos: jnp.ndarray  # (3,)
+    frames_since: jnp.ndarray  # int32
+
+    @staticmethod
+    def zero(dtype=jnp.float32) -> "KfMeta":
+        return KfMeta(
+            last_kf_pos=jnp.zeros((3,), dtype),
+            frames_since=jnp.asarray(0, jnp.int32),
+        )
+
+
+def maybe_add_keyframe(
+    params: vio_mod.VioParams,
+    db_dims,
+    words: jnp.ndarray,
+    fs,
+    slots,
+    db,
+    kf_meta: KfMeta,
+    enabled=True,
+):
+    """Post-visual-update keyframe step (reference ``VioUpdater::postUpdate``
+    REQUEST_COMM branch, vio_updater.cpp:451-484): evaluate the selection
+    heuristic; on selection, snapshot the current state+tracks as a keyframe
+    into the ring DB (``Tracker::addKeyframe`` -> ``Database::addKeyframe``)
+    and reset the distance/frame counters.
+
+    Returns (db, kf_meta, selected)."""
+    from ..place_recognition import database as db_mod
+
+    sel = should_select_keyframe(
+        params, fs, slots, kf_meta.last_kf_pos, kf_meta.frames_since
+    ) & jnp.asarray(enabled)
+    payload = extract_payload_desc(params, fs, slots)
+    db_new = db_mod.add_keyframe(db_dims, db, payload, words)
+    db = jax.tree.map(lambda a, b: jnp.where(sel, a, b), db_new, db)
+    core = rb.get_slot(fs.buffer, fs.anchor_buf_idx)
+    step = jnp.where(jnp.asarray(enabled), 1, 0)  # counters advance only on
+    # applied visual updates (reference increments frames_min_distance_
+    # once per postUpdate, vio_updater.cpp:483)
+    kf_meta = KfMeta(
+        last_kf_pos=jnp.where(sel, core.p, kf_meta.last_kf_pos),
+        frames_since=jnp.where(sel, 0, kf_meta.frames_since + step).astype(jnp.int32),
+    )
+    return db, kf_meta, sel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def process_matches_collab(
+    params: vio_mod.VioParams,
+    ccfg: CollabConfig,
+    db_dims,
+    words: jnp.ndarray,
+    fs,
+    slots,
+    store,
+    db,
+    kf_meta: KfMeta,
+    meas_time,
+    meas,
+):
+    """One collaborative visual update: stored cross-agent matches are
+    upgraded/consumed inside the update (``updateOppMatches`` semantics),
+    then the REQUEST_COMM keyframe-selection heuristic runs post-update
+    (reference ``VioUpdater::postUpdate``, vio_updater.cpp:425-484).
+
+    Returns (fs, slots, store, db, kf_meta, applied, kf_selected, n_collab).
+    """
+    fs, (slots, store, n_collab), applied = visual_update_with_store(
+        params, ccfg, fs, slots, store, meas_time, meas
+    )
+    db, kf_meta, sel = maybe_add_keyframe(
+        params, db_dims, words, fs, slots, db, kf_meta, enabled=applied
+    )
+    return fs, slots, store, db, kf_meta, applied, sel, n_collab
+
+
+def payload_nbytes(payload: AgentPayload) -> int:
+    """Wire size of one keyframe payload (the heavy message; static)."""
+    return sum(
+        int(np.prod(x.shape)) * x.dtype.itemsize
+        for x in jax.tree.leaves(payload)
+    )
+
+
+def vlad_nbytes(words: jnp.ndarray) -> int:
+    """Wire size of one VLAD query (the cheap message: W x 32 bytes)."""
+    return int(words.shape[0]) * 32
 
 
 def query_vlad(words: jnp.ndarray, slots) -> jnp.ndarray:
@@ -377,6 +484,9 @@ def receive_and_record(
     return fs, store, n
 
 
+receive_and_record_jit = jax.jit(receive_and_record, static_argnums=(0, 1))
+
+
 def visual_update_with_store(params: vio_mod.VioParams, ccfg: CollabConfig,
                              fs, slots, store, meas_time, meas):
     """Visual update that also upgrades/consumes stored cross-agent
@@ -397,3 +507,8 @@ def visual_update_with_store(params: vio_mod.VioParams, ccfg: CollabConfig,
         params.ekf_params, fs, meas_time, update_fn,
         (slots, store, jnp.asarray(0, jnp.int32)),
     )
+
+
+visual_update_with_store_jit = jax.jit(
+    visual_update_with_store, static_argnums=(0, 1)
+)

@@ -173,8 +173,17 @@ def record(
         peer_pts = jnp.where(
             c_ok[:, None], trk_last[c_idx], payload.slam_obs[s_idx]
         )
+        # fold the payload time and sender id into the key so every call
+        # draws a fresh hypothesis set (vision/tracker.py pattern)
+        key = jax.random.fold_in(
+            jax.random.fold_in(
+                jax.random.PRNGKey(11),
+                jnp.asarray(payload.time, jnp.float32).view(jnp.int32),
+            ),
+            jnp.asarray(uav_id, jnp.int32),
+        )
         inl, _ = fundamental_ransac(
-            own_pts, peer_pts, cand_ok, jax.random.PRNGKey(11), ransac_thr
+            own_pts, peer_pts, cand_ok, key, ransac_thr
         )
         cand_ok = cand_ok & inl
 

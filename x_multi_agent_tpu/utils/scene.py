@@ -1,0 +1,238 @@
+"""Synthetic textured-scene renderer for dataset-replay evaluation.
+
+The reference is validated on released multi-UAV datasets (Inveraray
+Castle / Mars Yard, README.md:284-301) that are not vendored; this module
+generates a deterministic stand-in with the same *shape*: N agents flying
+a shared scene, each with an IMU stream and a camera stream of textured
+images rendered from ground-truth poses, written to disk in the
+EuRoC-style layout consumed by ``utils/dataio.py`` (IMU CSV + PGM frames).
+
+Geometry matches ``utils/sim.py``'s circle world: a z-forward camera
+orbiting in the z=0 plane, viewing a textured wall at z = ``wall_z``
+(the sim's landmark wall sits at z in [5, 9]).
+"""
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+def make_texture(seed: int = 0, size: int = 2048, octaves: int = 5) -> np.ndarray:
+    """Multi-octave value-noise texture, uint8 (H, W). Has structure at
+    every scale so FAST finds corners at all pyramid levels and LK has
+    gradients everywhere."""
+    rng = np.random.default_rng(seed)
+    tex = np.zeros((size, size), np.float64)
+    amp = 1.0
+    for o in range(octaves):
+        n = 8 << o  # 8, 16, ... control points
+        coarse = rng.normal(size=(n, n))
+        # bilinear upsample to full size (wrap-free: sample interior grid)
+        yi = np.linspace(0, n - 1, size)
+        xi = np.linspace(0, n - 1, size)
+        y0 = np.floor(yi).astype(int)
+        x0 = np.floor(xi).astype(int)
+        y1 = np.minimum(y0 + 1, n - 1)
+        x1 = np.minimum(x0 + 1, n - 1)
+        fy = (yi - y0)[:, None]
+        fx = (xi - x0)[None, :]
+        up = (
+            coarse[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+            + coarse[np.ix_(y0, x1)] * (1 - fy) * fx
+            + coarse[np.ix_(y1, x0)] * fy * (1 - fx)
+            + coarse[np.ix_(y1, x1)] * fy * fx
+        )
+        tex += amp * up
+        amp *= 0.55
+    # high-frequency speckle for sharp corners
+    tex += 0.35 * rng.normal(size=(size, size))
+    tex -= tex.min()
+    tex *= 255.0 / tex.max()
+    return tex.astype(np.uint8)
+
+
+def _bilinear(tex: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    h, w = tex.shape
+    x = np.clip(x, 0.0, w - 1.001)
+    y = np.clip(y, 0.0, h - 1.001)
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = x - x0
+    fy = y - y0
+    t = tex.astype(np.float64)
+    return (
+        t[y0, x0] * (1 - fx) * (1 - fy)
+        + t[y0, x0 + 1] * fx * (1 - fy)
+        + t[y0 + 1, x0] * (1 - fx) * fy
+        + t[y0 + 1, x0 + 1] * fx * fy
+    )
+
+
+def render_wall_frame(
+    tex: np.ndarray,
+    p: np.ndarray,  # (3,) camera position (world)
+    rot: np.ndarray,  # (3, 3) world <- camera
+    h: int,
+    w: int,
+    fx: float,
+    fy: float,
+    wall_z: float = 6.0,
+    m_per_px: float = 0.004,
+) -> np.ndarray:
+    """Render an (h, w) uint8 view of the textured wall plane z=wall_z.
+
+    Each pixel's camera ray is intersected with the wall; intensity is a
+    bilinear texture lookup at the hit point (texture pinned to the wall
+    with ``m_per_px`` meters per texel)."""
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    v, u = np.mgrid[0:h, 0:w].astype(np.float64)
+    d_cam = np.stack(
+        [(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1
+    )  # (h, w, 3) z-forward pinhole
+    d_w = d_cam @ rot.T
+    t = (wall_z - p[2]) / d_w[..., 2]
+    wx = p[0] + t * d_w[..., 0]
+    wy = p[1] + t * d_w[..., 1]
+    th, tw = tex.shape
+    px = wx / m_per_px + tw / 2.0
+    py = wy / m_per_px + th / 2.0
+    img = _bilinear(tex, px, py)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def write_pgm(path: str, img: np.ndarray) -> None:
+    h, w = img.shape
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n255\n".encode())
+        f.write(np.ascontiguousarray(img, np.uint8).tobytes())
+
+
+def quat_to_rot(q: np.ndarray) -> np.ndarray:
+    """xyzw quaternion -> rotation matrix (world <- camera)."""
+    x, y, z, w = q
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def generate_agent_dataset(
+    out_dir: str,
+    seed: int,
+    duration: float = 30.0,
+    imu_rate: float = 100.0,
+    cam_rate: float = 10.0,
+    h: int = 480,
+    w: int = 640,
+    fx_frac: float = 0.8,
+    radius: float = 1.5,
+    omega: float = 0.6,
+    imu_noise_w: float = 2e-4,
+    imu_noise_a: float = 2e-3,
+    wall_z: float = 6.0,
+    tex: np.ndarray = None,
+    phase: float = 0.0,
+) -> dict:
+    """Write one agent's EuRoC-style dataset directory:
+
+        out_dir/imu.csv, out_dir/cam/data.csv, out_dir/cam/*.pgm,
+        out_dir/gt.csv (t, px, py, pz, qx, qy, qz, qw)
+
+    Trajectory: the utils/sim.py circle (z=0 plane, identity attitude,
+    z-forward camera viewing the wall) with a per-agent phase offset.
+    Returns a dict of the ground-truth arrays."""
+    rng = np.random.default_rng(seed)
+    if tex is None:
+        tex = make_texture(0)
+    os.makedirs(os.path.join(out_dir, "cam"), exist_ok=True)
+
+    def pos(t):
+        a = omega * t + phase
+        a0 = phase
+        return np.stack(
+            [
+                radius * (np.sin(a) - np.sin(a0)),
+                radius * (np.cos(a0) - np.cos(a)),
+                0 * t,
+            ],
+            axis=-1,
+        )
+
+    def acc(t):
+        a = omega * t + phase
+        return np.stack(
+            [
+                -radius * omega**2 * np.sin(a),
+                radius * omega**2 * np.cos(a),
+                0 * t,
+            ],
+            axis=-1,
+        )
+
+    def vel(t):
+        a = omega * t + phase
+        return np.stack(
+            [
+                radius * omega * np.cos(a),
+                radius * omega * np.sin(a),
+                0 * t,
+            ],
+            axis=-1,
+        )
+
+    g = -9.81
+    n_imu = int(duration * imu_rate) + 1
+    imu_t = np.arange(n_imu) / imu_rate
+    imu_w = imu_noise_w * rng.standard_normal((n_imu, 3))
+    imu_a = (
+        acc(imu_t)
+        - np.array([0.0, 0.0, g])
+        + imu_noise_a * rng.standard_normal((n_imu, 3))
+    )
+    with open(os.path.join(out_dir, "imu.csv"), "w") as f:
+        f.write("# t, wx, wy, wz, ax, ay, az\n")
+        for i in range(n_imu):
+            f.write(
+                f"{imu_t[i]:.6f},{imu_w[i,0]:.9f},{imu_w[i,1]:.9f},"
+                f"{imu_w[i,2]:.9f},{imu_a[i,0]:.9f},{imu_a[i,1]:.9f},"
+                f"{imu_a[i,2]:.9f}\n"
+            )
+
+    n_cam = int(duration * cam_rate)
+    cam_t = (np.arange(n_cam) + 1) / cam_rate
+    cam_p = pos(cam_t)
+    cam_q = np.tile([0.0, 0.0, 0.0, 1.0], (n_cam, 1))
+    fx = fx_frac * w
+    fy = fx  # square pixels
+    eye = np.eye(3)
+    with open(os.path.join(out_dir, "cam", "data.csv"), "w") as f:
+        f.write("# t, filename\n")
+        for i in range(n_cam):
+            name = f"{i:06d}.pgm"
+            img = render_wall_frame(
+                tex, cam_p[i], eye, h, w, fx, fy, wall_z=wall_z
+            )
+            write_pgm(os.path.join(out_dir, "cam", name), img)
+            f.write(f"{cam_t[i]:.6f},{name}\n")
+
+    with open(os.path.join(out_dir, "gt.csv"), "w") as f:
+        f.write("# t, px, py, pz, qx, qy, qz, qw\n")
+        for i in range(n_cam):
+            f.write(
+                f"{cam_t[i]:.6f},"
+                + ",".join(f"{v:.9f}" for v in cam_p[i])
+                + ","
+                + ",".join(f"{v:.9f}" for v in cam_q[i])
+                + "\n"
+            )
+
+    return dict(
+        imu_t=imu_t, imu_w=imu_w, imu_a=imu_a,
+        cam_t=cam_t, cam_p=cam_p, cam_q=cam_q,
+        v0=vel(np.array([0.0]))[0], fx=fx, fy=fy, h=h, w=w,
+    )

@@ -111,6 +111,8 @@ class Matches:
     desc: jnp.ndarray  # (J, 32) uint8 binary descriptor of the current obs
     desc_valid: jnp.ndarray  # (J,) bool
     tile: jnp.ndarray  # (J,) int32 image tile of the current obs (-1 n/a)
+    level: jnp.ndarray  # (J,) int32 pyramid level at detection (0 = base;
+    # reference Feature pyramid-level field, tracker.cpp:432-449)
 
     @staticmethod
     def zero(dims: TrackDims, dtype=jnp.float32) -> "Matches":
@@ -123,17 +125,21 @@ class Matches:
             desc=jnp.zeros((j, 32), jnp.uint8),
             desc_valid=jnp.zeros((j,), bool),
             tile=jnp.full((j,), -1, jnp.int32),
+            level=jnp.zeros((j,), jnp.int32),
         )
 
     @staticmethod
     def of(track_id, prev_pt, cur_pt, valid, desc=None, desc_valid=None,
-           tile=None) -> "Matches":
+           tile=None, level=None) -> "Matches":
         if desc is None:
             desc = jnp.zeros(track_id.shape + (32,), jnp.uint8)
             desc_valid = jnp.zeros(track_id.shape, bool)
         if tile is None:
             tile = jnp.full(track_id.shape, -1, jnp.int32)
-        return Matches(track_id, prev_pt, cur_pt, valid, desc, desc_valid, tile)
+        if level is None:
+            level = jnp.zeros(track_id.shape, jnp.int32)
+        return Matches(track_id, prev_pt, cur_pt, valid, desc, desc_valid,
+                       tile, level)
 
 
 @_pytree_dataclass

@@ -140,13 +140,27 @@ def apply_joint_msckf_ci_pairs(
             [a[3 * (i + 1) : 3 * (i + 2)].T @ h_p[i] for i in range(p_max)]
         )  # (P, rows, D)
 
-        # N-way CI: S = (1/w0) Ho P Ho^T + sum (1/w) Hp Pp Hp^T + var I
+        # N-way CI: S = (1/w0) Ho P Ho^T + sum (1/wi) Hp Pp Hp^T + var I.
+        # Negative ci_msckf_w requests online weight optimization
+        # (reference NLopt COBYLA path, ci.cpp:49-92,143-190), replaced by
+        # a fixed-point simplex iteration on device.
         n_peers = jnp.sum(tmatched)
-        w0 = 1.0 - n_peers * ci_msckf_w
+        if ci_msckf_w < 0:
+            w_fb = -ci_msckf_w
+            m_own = h_own_proj @ jnp.linalg.inv(cov) @ h_own_proj.T
+            m_p = jax.vmap(
+                lambda hp, pc: hp @ jnp.linalg.inv(pc) @ hp.T
+            )(h_p_proj, pcov)
+            w_all = ci_mod.optimize_weights_nway(m_own, m_p, tmatched, w_fb)
+            w0 = w_all[0]
+            w_peers = jnp.maximum(w_all[1:], 1e-4)
+        else:
+            w0 = 1.0 - n_peers * ci_msckf_w
+            w_peers = jnp.full((p_max,), ci_msckf_w, dtype)
         s = (1.0 / w0) * h_own_proj @ cov @ h_own_proj.T
         for i in range(p_max):
             s_i = h_p_proj[i] @ pcov[i] @ h_p_proj[i].T
-            s = s + jnp.where(tmatched[i], (1.0 / ci_msckf_w), 0.0) * s_i
+            s = s + jnp.where(tmatched[i], (1.0 / w_peers[i]), 0.0) * s_i
         s = s + var_img * jnp.eye(rows, dtype=dtype)
 
         gamma = res_proj @ jnp.linalg.solve(s, res_proj)

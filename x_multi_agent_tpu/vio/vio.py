@@ -303,10 +303,81 @@ class VIO:
                 desc=jnp.pad(matches.desc, ((0, pad), (0, 0))),
                 desc_valid=jnp.pad(matches.desc_valid, (0, pad)),
                 tile=jnp.pad(matches.tile, (0, pad), constant_values=-1),
+                level=jnp.pad(matches.level, (0, pad)),
             )
         elif jt > jm:
             matches = jax.tree.map(lambda x: x[:jm], matches)
         return self.process_matches_measurement(t, seq, matches)
+
+    # -- multi-UAV collaboration (MULTI_UAV + REQUEST_COMM) -------------------
+
+    def enable_collab(self, words, uav_id: int = 0, db_dims=None, ccfg=None,
+                      store_dims=None):
+        """Attach the collaborative stack (reference MULTI_UAV +
+        REQUEST_COMM build): keyframe DB + VLAD vocabulary + persistent
+        cross-agent match store. After this, every applied visual update
+        runs the keyframe-selection heuristic (vio_updater.cpp:451-484)
+        and consumes stored cross-agent matches."""
+        from ..parallel import collab as collab_mod, match_store as ms_mod
+        from ..place_recognition import database as db_mod
+
+        assert self.fs is not None, "call init_at_time first"
+        self._words = jnp.asarray(words)
+        self._uav_id = int(uav_id)
+        self._db_dims = db_dims or db_mod.DbDims(n_words=int(self._words.shape[0]))
+        self._ccfg = ccfg or collab_mod.CollabConfig()
+        proto = collab_mod.extract_payload_desc(self.params, self.fs, self.slots)
+        self._db = db_mod.KeyframeDB.zero(self._db_dims, proto)
+        self._kf_meta = collab_mod.KfMeta.zero(self.params.jdtype)
+        self._store = ms_mod.MatchStore.zero(
+            self.params.cfg.dims, store_dims or ms_mod.StoreDims(),
+            dtype=self.params.jdtype,
+        )
+        self.n_keyframes_selected = 0
+
+    @property
+    def _collab_enabled(self) -> bool:
+        return getattr(self, "_db", None) is not None
+
+    def get_data_to_send(self):
+        """Full-broadcast payload (reference ``VIO::getDataToSend``,
+        vio.cpp:440-451)."""
+        from ..parallel import collab as collab_mod
+
+        return collab_mod.extract_payload_desc(self.params, self.fs, self.slots)
+
+    def get_descriptors(self):
+        """Requester side: VLAD of the current frame's descriptors
+        (reference ``VIO::getDescriptors``, vio.cpp:455-460)."""
+        from ..parallel import collab as collab_mod
+
+        return collab_mod.query_vlad(self._words, self.slots)
+
+    def process_other_requests(self, requester_id: int, vlad):
+        """Responder side (reference ``VIO::processOtherRequests``,
+        vio.cpp:462-495): best unserved keyframe above pr_score_thr.
+        Returns (payload, found) — ship the payload only when found
+        (the 89%% bandwidth-saving policy)."""
+        from ..place_recognition import database as db_mod
+
+        idx, found, self._db = db_mod.find_candidate(
+            self._db, jnp.asarray(requester_id, jnp.int32), jnp.asarray(vlad),
+            self._ccfg.pr_score_thr,
+        )
+        return db_mod.get_keyframe(self._db, idx), bool(found)
+
+    def process_other_measurements(self, payload, uav_id: int, valid=True):
+        """Receive a peer payload (reference ``VIO::processOtherMeasurements``,
+        vio.cpp:498-570): SLAM-SLAM matches CI-fuse immediately; OPP matches
+        are recorded and consumed by later visual updates. Returns the
+        number of immediately fused matches."""
+        from ..parallel import collab as collab_mod
+
+        self.fs, self._store, n = collab_mod.receive_and_record_jit(
+            self.params, self._ccfg, self.fs, self.slots, self._store,
+            payload, jnp.asarray(uav_id, jnp.int32), jnp.asarray(bool(valid)),
+        )
+        return int(n)
 
     # -- visual updates -------------------------------------------------------
 
@@ -328,7 +399,17 @@ class VIO:
             )
             self._last_sun = None
         self._last_matches = matches
-        if self._debug:
+        if self._collab_enabled:
+            from ..parallel import collab as collab_mod
+
+            (self.fs, self.slots, self._store, self._db, self._kf_meta,
+             applied, kf_sel, _n_collab) = collab_mod.process_matches_collab(
+                self.params, self._ccfg, self._db_dims, self._words,
+                self.fs, self.slots, self._store, self._db, self._kf_meta,
+                t, meas,
+            )
+            self.n_keyframes_selected += int(kf_sel)
+        elif self._debug:
             self.fs, self.slots, applied, dbg = process_matches_debug(
                 self.params, self.fs, self.slots, t, meas
             )

@@ -45,10 +45,14 @@ class TrackerParams(NamedTuple):
     # MULTI_UAV: compute binary descriptors at tracked points each frame
     # (reference computes ORB during detection, tracker.cpp:440-478)
     compute_descriptors: bool = False
-    # hand Pallas kernels for FAST (pallas_fast.py) and LK (pallas_lk.py);
-    # None = auto (on for TPU backends); the jnp/XLA formulations remain
-    # the CPU/test path
+    # hand Pallas LK kernel (pallas_lk.py): None = auto (on for TPU
+    # backends, measured 5x faster than the XLA formulation on v5e); the
+    # jnp/XLA formulation remains the CPU/test path
     use_pallas: bool | None = None
+    # hand Pallas FAST kernel (pallas_fast.py): defaults OFF — the fused
+    # XLA formulation measured faster on v5e (590us vs 863us at 480x640)
+    # and the manual-DMA kernel does not compose with vmap over agents
+    use_pallas_fast: bool | None = False
 
 
 def _pytree_dataclass(cls):
@@ -62,6 +66,7 @@ class TrackerState:
     pts: jnp.ndarray  # (F, 2) pixel coords (distorted) in the *last* frame
     ids: jnp.ndarray  # (F,) int32, -1 = free slot
     scores: jnp.ndarray  # (F,) FAST score at detection
+    levels: jnp.ndarray  # (F,) int32 pyramid level at detection
     next_id: jnp.ndarray  # int32
     prev_img: jnp.ndarray  # (H, W) last frame (pyramid rebuilt per call)
     has_prev: jnp.ndarray  # bool
@@ -73,6 +78,7 @@ class TrackerState:
             pts=jnp.zeros((f, 2), dtype),
             ids=jnp.full((f,), -1, jnp.int32),
             scores=jnp.zeros((f,), dtype),
+            levels=jnp.zeros((f,), jnp.int32),
             next_id=jnp.asarray(0, jnp.int32),
             prev_img=jnp.zeros((h, w), dtype),
             has_prev=jnp.asarray(False),
@@ -86,21 +92,48 @@ def _resolve_pallas(flag: bool | None) -> bool:
 
 def _detect_new(
     params: TrackerParams,
-    img: jnp.ndarray,
+    pyramid,
     existing_pts: jnp.ndarray,
     existing_valid: jnp.ndarray,
 ):
-    """FAST detection with suppression of existing-feature neighborhoods.
+    """FAST detection on EVERY pyramid level (reference
+    ``getFASTFeaturesPyramid``, tracker.cpp:420-449: per-level cv::FAST,
+    candidate coords scaled by 2^level back to base resolution), with
+    suppression of existing-feature neighborhoods.
 
-    Returns (xy (C,2), score (C,), valid (C,)) sorted by score per tile.
+    Returns (xy (C,2) base-level coords, score (C,), level (C,), valid (C,))
+    with candidates from all ``pyramid_depth + 1`` levels concatenated.
+    Per-tile caps apply within each level; the global score-sorted append in
+    :func:`track_frame` enforces the overall budget (the reference enforces
+    tile caps at append time across levels, tracker.cpp:592-620).
     """
-    xy, score, valid = fast.detect(
-        img, params.fast_threshold, params.n_tiles_h, params.n_tiles_w,
-        params.max_feat_per_tile, params.non_max_supp,
-        use_pallas=_resolve_pallas(params.use_pallas),
-    )
-    h, w = img.shape
+    h, w = pyramid[0].shape
     m = params.margin
+    use_pallas = _resolve_pallas(params.use_pallas_fast)
+    xys, scores, levels, valids = [], [], [], []
+    # the reference pyramid holds pyramid_depth levels TOTAL (level 0 =
+    # base image, tracker.cpp:400-418); default depth 1 detects base-only
+    n_levels = min(params.pyramid_depth, len(pyramid))
+    for l in range(n_levels):
+        img_l = pyramid[l]
+        # crop to tile-divisible dims (coarse levels may not divide evenly)
+        lh = (img_l.shape[0] // params.n_tiles_h) * params.n_tiles_h
+        lw = (img_l.shape[1] // params.n_tiles_w) * params.n_tiles_w
+        xy_l, score_l, valid_l = fast.detect(
+            img_l[:lh, :lw], params.fast_threshold, params.n_tiles_h,
+            params.n_tiles_w, params.max_feat_per_tile, params.non_max_supp,
+            use_pallas=use_pallas,
+        )
+        xy_l = xy_l * (2.0 ** l)
+        xys.append(xy_l)
+        scores.append(score_l)
+        levels.append(jnp.full(score_l.shape, l, jnp.int32))
+        valids.append(valid_l)
+    xy = jnp.concatenate(xys, axis=0)
+    score = jnp.concatenate(scores, axis=0)
+    level = jnp.concatenate(levels, axis=0)
+    valid = jnp.concatenate(valids, axis=0)
+
     inb = (
         (xy[:, 0] >= m) & (xy[:, 0] < w - m) & (xy[:, 1] >= m) & (xy[:, 1] < h - m)
     )
@@ -111,7 +144,16 @@ def _detect_new(
         d[..., 1] <= params.block_half_length
     )
     near_any = jnp.any(near & existing_valid[None, :], axis=1)
-    return xy, score, valid & inb & ~near_any
+    # dedup across levels: a coarse-level candidate within the suppression
+    # radius of a finer-level candidate with a higher score is dropped
+    cross = (
+        (jnp.abs(xy[:, None, 0] - xy[None, :, 0]) <= params.block_half_length)
+        & (jnp.abs(xy[:, None, 1] - xy[None, :, 1]) <= params.block_half_length)
+        & (level[:, None] > level[None, :])
+        & valid[None, :]
+    )
+    dup = jnp.any(cross, axis=1)
+    return xy, score, level, valid & inb & ~near_any & ~dup
 
 
 def track_frame(
@@ -173,17 +215,21 @@ def track_frame(
         desc=desc,
         desc_valid=desc_ok & tracked,
         tile=tile,
+        level=jnp.where(tracked, state.levels, 0),
     )
 
     # -------- slot update + re-detection ----------------------------------
     pts1 = jnp.where(tracked[:, None], cur_pts, 0.0)
     ids1 = jnp.where(tracked, state.ids, -1)
     scores1 = jnp.where(tracked, state.scores, 0.0)
+    levels1 = jnp.where(tracked, state.levels, 0)
 
     n_live = jnp.sum(tracked)
     need_detect = n_live < params.n_feat_min
 
-    cand_xy, cand_score, cand_valid = _detect_new(params, img, pts1, tracked)
+    cand_xy, cand_score, cand_level, cand_valid = _detect_new(
+        params, pyr_cur, pts1, tracked
+    )
     cand_valid = cand_valid & need_detect
 
     # fill free slots with the best candidates (score-sorted append,
@@ -191,6 +237,7 @@ def track_frame(
     order = jnp.argsort(-jnp.where(cand_valid, cand_score, -jnp.inf), stable=True)
     cand_xy = cand_xy[order]
     cand_score = cand_score[order]
+    cand_level = cand_level[order]
     cand_valid = cand_valid[order]
 
     free = ~tracked
@@ -199,21 +246,25 @@ def track_frame(
     c = cand_xy.shape[0]
     rank = jnp.arange(c)
     can_place = cand_valid & (rank < n_free)
-    tgt = free_idx[jnp.clip(rank, 0, f - 1)]
+    tgt = jnp.where(can_place, free_idx[jnp.clip(rank, 0, f - 1)], f)
 
     new_ids = state.next_id + jnp.cumsum(can_place.astype(jnp.int32)) - 1
 
-    pts2 = pts1.at[tgt].set(
-        jnp.where(can_place[:, None], cand_xy.astype(dtype), pts1[tgt])
-    )
-    ids2 = ids1.at[tgt].set(jnp.where(can_place, new_ids, ids1[tgt]))
-    scores2 = scores1.at[tgt].set(jnp.where(can_place, cand_score, scores1[tgt]))
+    def scat(base, rows):
+        padded = jnp.concatenate([base, jnp.zeros_like(base[:1])], axis=0)
+        return padded.at[tgt].set(rows)[:f]
+
+    pts2 = scat(pts1, cand_xy.astype(dtype))
+    ids2 = scat(ids1, new_ids)
+    scores2 = scat(scores1, cand_score.astype(dtype))
+    levels2 = scat(levels1, cand_level)
     next_id = state.next_id + jnp.sum(can_place)
 
     new_state = TrackerState(
         pts=pts2,
         ids=ids2,
         scores=scores2,
+        levels=levels2,
         next_id=next_id.astype(jnp.int32),
         prev_img=img,
         has_prev=jnp.asarray(True),
