@@ -15,10 +15,15 @@ Usage:
   python scripts/ate_report.py [--duration 30] [--agents 2] [--out ATE_REPORT.json]
 """
 import argparse
+import faulthandler
 import json
 import os
 import sys
 import time
+
+faulthandler.enable()
+# periodic stack dump so hangs (e.g. a wedged device tunnel) are diagnosable
+faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
 
 import numpy as np
 
@@ -105,7 +110,7 @@ def build_agent(meta, degraded: bool, words, ccfg, uav_id: int, collab: bool):
     return v
 
 
-def replay(agents, metas, exchange: bool, log_every: int = 50):
+def replay(agents, metas, exchange: bool, log_every: int = 10):
     """Interleaved frame-by-frame replay with periodic exchange rounds."""
     from x_multi_agent_tpu.utils import dataio
 
@@ -187,6 +192,10 @@ def main():
     ap.add_argument("--out", type=str, default=os.path.join(REPO, "ATE_REPORT.json"))
     args = ap.parse_args()
 
+    import bench
+
+    bench._enable_compile_cache()
+
     import jax.numpy as jnp
 
     from x_multi_agent_tpu.parallel import collab as collab_mod
@@ -203,8 +212,9 @@ def main():
         ).words
     )
     ccfg = collab_mod.CollabConfig(
-        sigma_landmark=0.05, ci_slam_w=0.2, match_budget=8,
-        desc_ratio_thr=0.85, desc_abs_thr=50.0, pr_score_thr=0.15,
+        sigma_landmark=0.1, ci_slam_w=0.05, match_budget=8,
+        desc_ratio_thr=0.7, desc_abs_thr=35.0, pr_score_thr=0.15,
+        pr_ransac_thr=0.005, geom_consistency_tol=0.3,
     )
 
     # pass 1: degraded agent solo (agent index 1 is the degraded one)

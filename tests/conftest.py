@@ -6,6 +6,24 @@ tight tolerances, and multi-chip sharding is exercised on 8 virtual devices.
 """
 import os
 
+# Raise the stack limit BEFORE jax creates its compile worker threads:
+# XLA's CPU-backend compilation of the largest fused programs segfaulted
+# mid-suite inside backend_compile (stack-overflow signature: crash site
+# wanders between compile/serialize/deserialize of the same big programs,
+# each passes in isolation). Threads inherit the limit active at creation.
+import resource
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 256 * 1024 * 1024
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    try:
+        resource.setrlimit(
+            resource.RLIMIT_STACK,
+            (_want if _hard == resource.RLIM_INFINITY else min(_want, _hard), _hard),
+        )
+    except (ValueError, OSError):
+        pass
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -37,6 +55,21 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    A full-suite run accumulates hundreds of live executables on the
+    8-virtual-device CPU backend and eventually SEGFAULTS inside XLA's
+    backend_compile on one of the largest programs (reproducible at the
+    same test; the same test passes in isolation). Releasing compiled
+    programs between modules keeps the process footprint bounded; the
+    persistent on-disk cache makes re-tracing cheap.
+    """
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture

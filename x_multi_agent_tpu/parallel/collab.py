@@ -44,6 +44,12 @@ class CollabConfig(NamedTuple):
     # normalized-coordinate units (reference findEssentialMat verification,
     # place_recognition.cpp:269-283); <= 0 disables
     pr_ransac_thr: float = 0.01
+    # pairwise-distance consistency gate on matched SLAM landmarks [m]:
+    # |d(own_i, own_j) - d(peer_i', peer_j')| < tol for at least half the
+    # matched set. Invariant to each agent's global drift (it cancels in
+    # relative distances), so it rejects aliased descriptor associations
+    # that survive the appearance + epipolar gates. <= 0 disables.
+    geom_consistency_tol: float = 0.0
     # cross-agent MSCKF CI weight (reference ci_msckf_w)
     ci_msckf_w: float = 0.01
     max_peers: int = 2  # joint-MSCKF peer budget per track
@@ -140,6 +146,28 @@ def fuse_with_peer_desc(
                 own_pts, peer_pts, ok, key, ccfg.pr_ransac_thr,
             )
             ok = ok & inl
+        if ccfg.geom_consistency_tol > 0:
+            own_lm, own_lm_valid = slam_landmarks_world(dims, vision)
+            ok = ok & own_lm_valid & peer.landmark_valid[other_idx]
+            peer_lm = peer.landmarks[other_idx]
+            d_own = jnp.linalg.norm(
+                own_lm[:, None, :] - own_lm[None, :, :], axis=-1
+            )
+            d_peer = jnp.linalg.norm(
+                peer_lm[:, None, :] - peer_lm[None, :, :], axis=-1
+            )
+            cons = (
+                (jnp.abs(d_own - d_peer) < ccfg.geom_consistency_tol)
+                & ok[None, :]
+                & ok[:, None]
+                & ~jnp.eye(own_lm.shape[0], dtype=bool)
+            )
+            support = jnp.sum(cons, axis=1)
+            n_ok = jnp.sum(ok)
+            # each kept match must be consistent with at least half of the
+            # other matches (and at least one)
+            need = jnp.maximum(1, (n_ok - 1) // 2)
+            ok = ok & (support >= need)
         n = dims.n_features
         budget = ccfg.match_budget
         order = jnp.argsort(~ok, stable=True)[:budget]

@@ -48,6 +48,19 @@ def make_texture(seed: int = 0, size: int = 2048, octaves: int = 5) -> np.ndarra
         amp *= 0.55
     # high-frequency speckle for sharp corners
     tex += 0.35 * rng.normal(size=(size, size))
+    # sparse distinctive blotches: descriptor matching across agents needs
+    # locally UNIQUE appearance — pure value noise is self-similar and
+    # produces aliased cross-agent associations
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    for _ in range(160):
+        cx, cy = rng.uniform(0, size, 2)
+        rx, ry = rng.uniform(6, 60, 2)
+        th = rng.uniform(0, np.pi)
+        amp = rng.uniform(1.5, 4.0) * rng.choice([-1.0, 1.0])
+        dx, dy = xx - cx, yy - cy
+        u = (dx * np.cos(th) + dy * np.sin(th)) / rx
+        v = (-dx * np.sin(th) + dy * np.cos(th)) / ry
+        tex += amp * ((u * u + v * v) < 1.0)
     tex -= tex.min()
     tex *= 255.0 / tex.max()
     return tex.astype(np.uint8)
