@@ -14,10 +14,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .state import CoreState
 
-INVALID_IDX = jnp.int32(-1)
+# numpy scalar, NOT a jax array: module-level device constants get
+# re-fetched device->host at every trace lowering (ir_constant), which
+# is pathological over a remote-device tunnel
+INVALID_IDX = np.int32(-1)
 
 ROW_WIDTH = 24
 _TIME, _SEQ = 0, 1

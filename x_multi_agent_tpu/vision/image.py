@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_K5 = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+_K5 = [1.0 / 16, 4.0 / 16, 6.0 / 16, 4.0 / 16, 1.0 / 16]  # host-side taps
 
 
 def _sep_stencil(img: jnp.ndarray, kr, kc) -> jnp.ndarray:
