@@ -244,7 +244,7 @@ def main():
     import __graft_entry__ as ge
 
     params = ge._params(small=False)
-    n_agents = int(os.environ.get("BENCH_AGENTS", "128"))
+    n_agents = int(os.environ.get("BENCH_AGENTS", "512"))
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
     img_agents = int(os.environ.get("BENCH_IMG_AGENTS", "16"))
     img_iters = int(os.environ.get("BENCH_IMG_ITERS", "10"))

@@ -45,6 +45,10 @@ def _free_port() -> int:
 def worker(args) -> None:
     import jax
 
+    # the axon TPU plugin registers itself from sitecustomize and wins over
+    # the JAX_PLATFORMS env var; force the CPU backend the same way
+    # tests/conftest.py does
+    jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
         coordinator_address=args.coordinator,
         num_processes=args.hosts,
