@@ -36,19 +36,33 @@ def _normalize_pts(pts: jnp.ndarray, mask: jnp.ndarray):
 
 
 def _eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
-    """F from 8 correspondences (already normalized); (8,2),(8,2) -> (3,3)."""
+    """F from 8 correspondences (already normalized); (8,2),(8,2) -> (3,3).
+
+    TPU note: the textbook null-vector-by-SVD is an iterative Jacobi
+    custom lowering on TPU and dominated the whole tracker frame when
+    batched over hypotheses x agents (measured 80 ms of a 110 ms frame at
+    16 agents x 200 hypotheses). Replaced by Cholesky inverse iteration
+    on A^T A (batched 9x9 HLO ops): with the smallest eigenvalue ~0 for a
+    consistent 8-point sample, 3 regularized inverse-iteration steps
+    recover the null vector to working precision. Rank-2 enforcement is
+    skipped per hypothesis (irrelevant for Sampson voting) and applied
+    once to the winning F in :func:`fundamental_ransac`.
+    """
     x1, y1 = p1[:, 0], p1[:, 1]
     x2, y2 = p2[:, 0], p2[:, 1]
     ones = jnp.ones_like(x1)
     a = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=1
     )  # (8, 9)
-    _, _, vt = jnp.linalg.svd(a, full_matrices=True)
-    f = vt[-1].reshape(3, 3)
-    # enforce rank 2
-    u, s, vt2 = jnp.linalg.svd(f)
-    s = s.at[2].set(0.0)
-    return u @ jnp.diag(s) @ vt2
+    m = a.T @ a
+    eye = jnp.eye(9, dtype=a.dtype)
+    m = m + (1e-10 * jnp.trace(m) + 1e-30) * eye
+    c = jnp.linalg.cholesky(m)
+    x = jnp.full((9,), 1.0 / 3.0, a.dtype)
+    for _ in range(3):
+        x = jax.scipy.linalg.cho_solve((c, True), x)
+        x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+    return x.reshape(3, 3)
 
 
 def sampson_dist(f: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
@@ -95,5 +109,10 @@ def fundamental_ransac(
 
     enough = jnp.sum(mask) >= 8
     inliers = jnp.where(enough, inliers, mask)
+    # rank-2 enforcement once, on the winner only (cv::findFundamentalMat
+    # returns a rank-2 F; per-hypothesis enforcement is skipped, see
+    # _eight_point)
+    u, s, vt2 = jnp.linalg.svd(f_best_n)
+    f_best_n = u @ jnp.diag(s.at[2].set(0.0)) @ vt2
     f_best = t2.T @ f_best_n @ t1
     return inliers, f_best
