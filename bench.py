@@ -233,7 +233,16 @@ def bench_image(params, n_agents, n_iters):
         tstate, fs, slots, _ = step(tstate, fs, slots, frames[k], *imu_inputs[k])
     jax.block_until_ready(fs.cov)
     elapsed = time.perf_counter() - t0
-    return n_agents * n_iters / elapsed
+
+    # sanity: the measured program must have actually tracked features and
+    # kept the filter finite (a >100k fps reading at 64 agents once slipped
+    # through; garbage must fail loudly, not get recorded)
+    n_live = int(jnp.sum(tstate.ids >= 0))
+    assert n_live >= n_agents * 10, f"tracker degenerate: {n_live} live features"
+    assert bool(jnp.isfinite(fs.cov).all()), "filter covariance not finite"
+    fps = n_agents * n_iters / elapsed
+    assert fps < 50_000, f"implausible frame rate {fps:.0f}/s - timing artifact"
+    return fps
 
 
 def main():
