@@ -186,3 +186,25 @@ def test_imu_batch_matches_sequential_scan(rng):
     np.testing.assert_allclose(
         np.asarray(fs_batch.cov), np.asarray(fs_seq.cov), rtol=1e-8, atol=1e-13
     )
+
+
+def test_seq_gap_counter_batched_matches_sequential():
+    """Intra-batch sequence gaps are counted even on the very first batch
+    (ring tail unset), matching the per-sample path (ekf.cpp:111-115)."""
+    fs = init_filter()
+    times = 0.005 * (1 + np.arange(4))
+    seqs = np.asarray([1, 2, 5, 6])  # one gap inside the batch (2 -> 5)
+    w = np.zeros((4, 3))
+    a = np.tile([0.0, 0.0, 9.81], (4, 1))
+    args = (jnp.asarray(times), jnp.asarray(seqs), jnp.asarray(w), jnp.asarray(a))
+
+    fs_batch = ekf_mod.process_imu_batch(PARAMS, fs, *args)
+
+    fs_seq = fs
+    for k in range(4):
+        fs_seq = ekf_mod.process_imu(
+            PARAMS, fs_seq, times[k], int(seqs[k]), jnp.asarray(w[k]),
+            jnp.asarray(a[k]),
+        )
+    assert int(fs_batch.n_seq_gaps) == int(fs_seq.n_seq_gaps)
+    assert int(fs_batch.n_seq_gaps) >= 1

@@ -30,6 +30,17 @@ def test_pallas_fast_odd_dims(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
 
 
+def test_pallas_fast_batch_matches_oracle(rng):
+    imgs = jnp.asarray(rng.integers(0, 255, size=(3, 77, 133)).astype(np.float32))
+    import jax
+
+    ref = jax.vmap(lambda im: fast.nms3(fast.fast_score(im, 10.0)))(imgs)
+    got = pallas_fast.fast_score_nms_batch(
+        imgs, 10.0, nms=True, tile_h=32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
 def test_pallas_lk_matches_level_oracle(rng):
     h, w = 96, 160
     img0 = np.asarray(

@@ -220,7 +220,13 @@ def process_imu_batch_impl(
         # failure-detection counters (ekf.cpp:111-128)
         s_i = jnp.asarray(s_b, jnp.int32)
         expected = jnp.concatenate([tail.seq[None] + 1, s_i[:-1] + 1])
-        gaps = jnp.sum((s_i != expected) & (tail.seq >= 0)).astype(jnp.int32)
+        # only the first element's predecessor is the ring tail; gate just
+        # that comparison on the tail being set — intra-batch gaps always
+        # count (matches the single-sample path's per-predecessor check)
+        valid_prev = jnp.concatenate(
+            [(tail.seq >= 0)[None], jnp.ones((lt - 1,), bool)]
+        )
+        gaps = jnp.sum((s_i != expected) & valid_prev).astype(jnp.int32)
         fs = dataclasses.replace(
             fs,
             n_spikes=fs.n_spikes + jnp.sum(~good).astype(jnp.int32),

@@ -58,8 +58,15 @@ def _eight_point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     eye = jnp.eye(9, dtype=a.dtype)
     m = m + (1e-10 * jnp.trace(m) + 1e-30) * eye
     c = jnp.linalg.cholesky(m)
-    x = jnp.full((9,), 1.0 / 3.0, a.dtype)
-    for _ in range(3):
+    # start vector: structureless (no symmetry/zero-sum pattern). For
+    # near-pure-translation motion the normalized F's entries sum to ~0,
+    # so a constant start vector is nearly orthogonal to the null vector
+    # and convergence would hinge on rounding noise; 4 iterations from a
+    # generic start are robust even in that degenerate-motion case.
+    x = jnp.asarray(
+        [0.21, -0.43, 0.61, -0.79, 0.97, 0.33, -0.51, 0.69, 0.87], a.dtype
+    )
+    for _ in range(4):
         x = jax.scipy.linalg.cho_solve((c, True), x)
         x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
     return x.reshape(3, 3)

@@ -249,3 +249,206 @@ def generate_agent_dataset(
         cam_t=cam_t, cam_p=cam_p, cam_q=cam_q,
         v0=vel(np.array([0.0]))[0], fx=fx, fy=fy, h=h, w=w,
     )
+
+
+# --------------------------------------------------------------------------
+# 6-DoF orbit trajectory (rotation included) + on-device batch renderer.
+# Used by bench.py (VERDICT r2: bench frames must carry real rotation, not
+# texture shifts) and the round-3 ATE replay harness.
+# --------------------------------------------------------------------------
+
+
+def _rot_xyz(pitch: np.ndarray, yaw: np.ndarray, roll: np.ndarray) -> np.ndarray:
+    """R = Ry(yaw) @ Rx(pitch) @ Rz(roll), batched over leading dims.
+    world <- camera, camera z-forward toward the wall."""
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    z = np.zeros_like(yaw)
+    o = np.ones_like(yaw)
+    ry = np.stack(
+        [cy, z, sy, z, o, z, -sy, z, cy], axis=-1
+    ).reshape(yaw.shape + (3, 3))
+    rx = np.stack(
+        [o, z, z, z, cp, -sp, z, sp, cp], axis=-1
+    ).reshape(yaw.shape + (3, 3))
+    rz = np.stack(
+        [cr, -sr, z, sr, cr, z, z, z, o], axis=-1
+    ).reshape(yaw.shape + (3, 3))
+    return ry @ rx @ rz
+
+
+def rot_to_quat(rot: np.ndarray) -> np.ndarray:
+    """(..., 3, 3) -> xyzw quaternion (w >= 0)."""
+    m = rot
+    w = 0.5 * np.sqrt(np.maximum(1.0 + m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2], 1e-12))
+    x = (m[..., 2, 1] - m[..., 1, 2]) / (4 * w)
+    y = (m[..., 0, 2] - m[..., 2, 0]) / (4 * w)
+    z = (m[..., 1, 0] - m[..., 0, 1]) / (4 * w)
+    return np.stack([x, y, z, w], axis=-1)
+
+
+def orbit_traj(
+    duration: float,
+    imu_rate: float,
+    cam_rate: float,
+    radius: float = 1.5,
+    omega: float = 0.6,
+    phase: float = 0.0,
+    yaw_amp: float = 0.0,
+    pitch_amp: float = 0.0,
+    roll_amp: float = 0.0,
+    rot_freq: float = 1.3,
+    z_amp: float = 0.0,
+    seed: int = 0,
+    imu_noise_w: float = 2e-4,
+    imu_noise_a: float = 2e-3,
+) -> dict:
+    """6-DoF orbit: the circle trajectory plus sinusoidal yaw/pitch/roll
+    and optional z bobbing. Body rates come from the analytic R(t) by
+    central differences at the IMU rate (exact to O(h^2)); accel is
+    analytic, rotated into the body frame.
+
+    Returns imu_t, imu_w (body rates), imu_a (specific force), cam_t,
+    cam_p, cam_rot (n,3,3), cam_q (xyzw), v0, p0.
+    """
+    rng = np.random.default_rng(seed)
+    g = np.array([0.0, 0.0, -9.81])
+
+    def pos(t):
+        a = omega * t + phase
+        a0 = phase
+        return np.stack(
+            [
+                radius * (np.sin(a) - np.sin(a0)),
+                radius * (np.cos(a0) - np.cos(a)),
+                z_amp * np.sin(0.9 * omega * t),
+            ],
+            axis=-1,
+        )
+
+    def vel(t):
+        a = omega * t + phase
+        return np.stack(
+            [
+                radius * omega * np.cos(a),
+                radius * omega * np.sin(a),
+                z_amp * 0.9 * omega * np.cos(0.9 * omega * t),
+            ],
+            axis=-1,
+        )
+
+    def acc(t):
+        a = omega * t + phase
+        return np.stack(
+            [
+                -radius * omega**2 * np.sin(a),
+                radius * omega**2 * np.cos(a),
+                -z_amp * (0.9 * omega) ** 2 * np.sin(0.9 * omega * t),
+            ],
+            axis=-1,
+        )
+
+    def rot(t):
+        wt = rot_freq * omega * t + phase
+        return _rot_xyz(
+            pitch_amp * np.sin(0.83 * wt),
+            yaw_amp * np.sin(wt),
+            roll_amp * np.sin(1.19 * wt + 0.5),
+        )
+
+    n_imu = int(duration * imu_rate) + 1
+    imu_t = np.arange(n_imu) / imu_rate
+    h_fd = 0.5 / imu_rate
+    r_m = rot(imu_t - h_fd)
+    r_p = rot(imu_t + h_fd)
+    # body rate: vee(log(R(t-h)^T R(t+h))) / 2h
+    dr = np.einsum("nij,nik->njk", r_m, r_p)
+    tr = np.clip((np.trace(dr, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    ang = np.arccos(tr)
+    s = np.where(ang > 1e-12, ang / np.maximum(np.sin(ang), 1e-12), 1.0)
+    w_body = (
+        np.stack(
+            [
+                dr[:, 2, 1] - dr[:, 1, 2],
+                dr[:, 0, 2] - dr[:, 2, 0],
+                dr[:, 1, 0] - dr[:, 0, 1],
+            ],
+            axis=-1,
+        )
+        * (s / 2.0)[:, None]
+        / (2.0 * h_fd)
+    )
+    r_t = rot(imu_t)
+    a_body = np.einsum("nij,ni->nj", r_t, acc(imu_t) - g)  # R^T (a - g)
+    imu_w = w_body + imu_noise_w * rng.standard_normal((n_imu, 3))
+    imu_a = a_body + imu_noise_a * rng.standard_normal((n_imu, 3))
+
+    n_cam = int(duration * cam_rate)
+    cam_t = (np.arange(n_cam) + 1) / cam_rate
+    cam_rot = rot(cam_t)
+    return dict(
+        imu_t=imu_t, imu_w=imu_w, imu_a=imu_a,
+        cam_t=cam_t, cam_p=pos(cam_t), cam_rot=cam_rot,
+        cam_q=rot_to_quat(cam_rot),
+        p0=pos(np.array([0.0]))[0], v0=vel(np.array([0.0]))[0],
+        q0=rot_to_quat(rot(np.array([0.0])))[0],
+    )
+
+
+def render_wall_frames_jax(
+    tex,  # (th, tw) jnp array (float)
+    p,  # (B, 3) camera positions
+    rot,  # (B, 3, 3) world <- camera
+    h: int,
+    w: int,
+    fx: float,
+    fy: float,
+    wall_z: float = 6.0,
+    m_per_px: float = 0.004,
+    wall2_x: float = None,
+):
+    """On-device batch port of :func:`render_wall_frame` (same geometry,
+    bilinear texture lookup), with full rotation support and an optional
+    second wall (plane x = wall2_x, making the scene non-planar).
+
+    Returns (B, h, w) float32 frames.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..vision.image import bilinear_sample
+
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    v, u = np.mgrid[0:h, 0:w].astype(np.float32)
+    d_cam = jnp.asarray(
+        np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1)
+    )  # (h, w, 3)
+    th, tw = tex.shape
+
+    def one(p_i, rot_i):
+        d_w = d_cam @ rot_i.T
+        t1 = (wall_z - p_i[2]) / d_w[..., 2]
+        wx = p_i[0] + t1 * d_w[..., 0]
+        wy = p_i[1] + t1 * d_w[..., 1]
+        px = wx / m_per_px + tw / 2.0
+        py = wy / m_per_px + th / 2.0
+        img = bilinear_sample(tex, jnp.stack([px, py], axis=-1))
+        if wall2_x is not None:
+            # side wall x = wall2_x: rays pointing toward it AND hitting it
+            # before the front wall (or missing the front wall entirely)
+            t2 = (wall2_x - p_i[0]) / jnp.where(
+                jnp.abs(d_w[..., 0]) > 1e-6, d_w[..., 0], 1e-6
+            )
+            hit2 = (t2 > 0.1) & ((t2 < t1) | (t1 <= 0.0))
+            w2y = p_i[1] + t2 * d_w[..., 1]
+            w2z = p_i[2] + t2 * d_w[..., 2]
+            px2 = w2y / m_per_px + tw / 2.0
+            py2 = w2z / m_per_px + th / 2.0
+            img2 = bilinear_sample(
+                tex, jnp.stack([px2 + 511.0, py2 + 257.0], axis=-1)
+            )
+            img = jnp.where(hit2, img2, img)
+        return img
+
+    return jax.vmap(one)(jnp.asarray(p, jnp.float32), jnp.asarray(rot, jnp.float32))

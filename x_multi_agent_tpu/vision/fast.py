@@ -66,6 +66,29 @@ def nms3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= neigh, score, 0.0)
 
 
+def _tile_topk(
+    score: jnp.ndarray,
+    n_tiles_h: int,
+    n_tiles_w: int,
+    cap_per_tile: int,
+    dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-tile top-K selection from a (H, W) score map."""
+    h, w = score.shape
+    th, tw = h // n_tiles_h, w // n_tiles_w
+    tiles = score.reshape(n_tiles_h, th, n_tiles_w, tw).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(n_tiles_h * n_tiles_w, th * tw)
+    top, idx = jax.lax.top_k(tiles, cap_per_tile)  # (T, cap)
+
+    ty = jnp.arange(n_tiles_h).repeat(n_tiles_w)[:, None]
+    tx = jnp.tile(jnp.arange(n_tiles_w), n_tiles_h)[:, None]
+    py = ty * th + idx // tw
+    px = tx * tw + idx % tw
+    xy = jnp.stack([px, py], axis=-1).reshape(-1, 2).astype(dtype)
+    scores = top.reshape(-1)
+    return xy, scores, scores > 0
+
+
 def detect(
     img: jnp.ndarray,
     threshold: float,
@@ -81,8 +104,6 @@ def detect(
     K = n_tiles_h * n_tiles_w * cap_per_tile, sorted by score within tiles.
     Image dims must be divisible by the tile counts.
     """
-    h, w = img.shape
-    th, tw = h // n_tiles_h, w // n_tiles_w
     if use_pallas:
         from . import pallas_fast
 
@@ -91,15 +112,32 @@ def detect(
         score = fast_score(img, threshold)
         if non_max_supp:
             score = nms3(score)
+    return _tile_topk(score, n_tiles_h, n_tiles_w, cap_per_tile, img.dtype)
 
-    tiles = score.reshape(n_tiles_h, th, n_tiles_w, tw).transpose(0, 2, 1, 3)
-    tiles = tiles.reshape(n_tiles_h * n_tiles_w, th * tw)
-    top, idx = jax.lax.top_k(tiles, cap_per_tile)  # (T, cap)
 
-    ty = jnp.arange(n_tiles_h).repeat(n_tiles_w)[:, None]
-    tx = jnp.tile(jnp.arange(n_tiles_w), n_tiles_h)[:, None]
-    py = ty * th + idx // tw
-    px = tx * tw + idx % tw
-    xy = jnp.stack([px, py], axis=-1).reshape(-1, 2).astype(img.dtype)
-    scores = top.reshape(-1)
-    return xy, scores, scores > 0
+def detect_batch(
+    imgs: jnp.ndarray,  # (A, H, W)
+    threshold: float,
+    n_tiles_h: int,
+    n_tiles_w: int,
+    cap_per_tile: int,
+    non_max_supp: bool = True,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched tiled FAST detection over a leading agent axis.
+
+    On TPU the score maps come from ONE Pallas kernel whose grid covers
+    agents x row-strips (``pallas_fast.fast_score_nms_batch``); elsewhere
+    the XLA formulation is vmapped.
+    """
+    if use_pallas:
+        from . import pallas_fast
+
+        score = pallas_fast.fast_score_nms_batch(imgs, threshold, nms=non_max_supp)
+    else:
+        score = jax.vmap(lambda im: fast_score(im, threshold))(imgs)
+        if non_max_supp:
+            score = jax.vmap(nms3)(score)
+    return jax.vmap(
+        lambda s: _tile_topk(s, n_tiles_h, n_tiles_w, cap_per_tile, imgs.dtype)
+    )(score)

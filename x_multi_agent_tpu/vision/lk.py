@@ -47,6 +47,7 @@ def _track_level(
     half_win: int,
     n_iters: int,
     min_eig_thr: float,
+    eps: float = 0.01,
 ):
     """One pyramid level of LK for all features. Returns (flow, ok)."""
     w = 2 * half_win + 1
@@ -89,16 +90,25 @@ def _track_level(
         ok = min_eig / (w * w) > min_eig_thr
         det_safe = jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
 
-        def body(_, nu):
+        # convergence early-exit with OpenCV termcrit semantics: apply
+        # dnu, stop once |dnu|^2 <= eps^2 (matches pallas_lk's skip rule)
+        eps2 = jnp.asarray(eps * eps, dtype)
+
+        def body(_, carry):
+            nu, d2 = carry
+            active = d2 > eps2
             byc, bxc, fxc, fyc = base(pt + nu)
             patch_cur = _interp_patch(slab(ic, byc, bxc), fxc, fyc, w)
             di = patch_prev - patch_cur
             bx_ = jnp.sum(di * ix)
             by_ = jnp.sum(di * iy)
             dnu = jnp.stack([gyy * bx_ - gxy * by_, gxx * by_ - gxy * bx_]) / det_safe
-            return nu + dnu
+            dnu = jnp.where(active, dnu, 0.0)
+            return nu + dnu, jnp.where(active, jnp.sum(dnu * dnu), d2)
 
-        nu = jax.lax.fori_loop(0, n_iters, body, g.astype(dtype))
+        nu, _ = jax.lax.fori_loop(
+            0, n_iters, body, (g.astype(dtype), jnp.asarray(1e9, dtype))
+        )
         return nu, ok
 
     return jax.vmap(one)(pts_prev.astype(dtype), guess)
@@ -112,6 +122,7 @@ def track(
     half_win: int = 10,
     n_iters: int = 10,
     min_eig_thr: float = 1e-4,
+    eps: float = 0.01,
     use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Track points from the previous to the current pyramid.
@@ -139,7 +150,7 @@ def track(
         dx, dy = grads[lvl]
         flow, lvl_ok = level_fn(
             pyr_prev[lvl], pyr_cur[lvl], dx, dy, pts_l, flow,
-            half_win, n_iters, min_eig_thr,
+            half_win, n_iters, min_eig_thr, eps,
         )
         ok = ok & lvl_ok
 

@@ -39,18 +39,10 @@ def _roll_x(arr: jnp.ndarray, dx: int) -> jnp.ndarray:
     return pltpu.roll(arr, (-dx) % arr.shape[1], axis=1)
 
 
-def _fast_kernel(
-    img_hbm, out_ref, strip, sem, *, tile_h: int, h: int, w: int,
-    threshold: float, nms: bool
-):
-    i = pl.program_id(0)
-    cp = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * tile_h, tile_h + 2 * _HALO)], strip, sem
-    )
-    cp.start()
-    cp.wait()
-
-    s = strip[:]
+def _score_strip(s, i, *, tile_h: int, h: int, w: int, threshold: float,
+                 nms: bool):
+    """FAST score + threshold + NMS of one VMEM strip ``s`` whose row 0 is
+    image row ``i*tile_h - HALO``. Returns the (tile_h, W) score block."""
     dtype = s.dtype
     rows = tile_h + 2  # score rows: strip rows [3, tile_h+5) (+-1 NMS halo)
 
@@ -95,7 +87,57 @@ def _fast_kernel(
         out = jnp.where(centre >= neigh, centre, jnp.zeros_like(centre))
     else:
         out = score[1 : 1 + tile_h, :]
-    out_ref[:] = out.astype(dtype)
+    return out.astype(dtype)
+
+
+def _fast_kernel(
+    img_hbm, out_ref, strip, sem, *, tile_h: int, h: int, w: int,
+    threshold: float, nms: bool
+):
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * tile_h, tile_h + 2 * _HALO)], strip, sem
+    )
+    cp.start()
+    cp.wait()
+    out_ref[:] = _score_strip(
+        strip[:], i, tile_h=tile_h, h=h, w=w, threshold=threshold, nms=nms
+    )
+
+
+def _fast_kernel_batch(
+    img_hbm, out_ref, strip, sem, *, tile_h: int, h: int, w: int,
+    threshold: float, nms: bool, n_blocks: int,
+):
+    """Batched variant: grid (A, n_blocks), double-buffered strip DMA."""
+    a = pl.program_id(0)
+    i = pl.program_id(1)
+    n_a = pl.num_programs(0)
+
+    def start_fetch(slot, aa, ii):
+        return pltpu.make_async_copy(
+            img_hbm.at[aa, pl.ds(ii * tile_h, tile_h + 2 * _HALO)],
+            strip.at[slot], sem.at[slot],
+        )
+
+    @pl.when((a == 0) & (i == 0))
+    def _():
+        start_fetch(0, 0, 0).start()
+
+    # prefetch the next strip (possibly the next agent's first strip)
+    two = jnp.int32(2)
+    nb = jnp.int32(n_blocks)
+    slot = jax.lax.rem(a * nb + i, two)
+    nxt = a * nb + i + 1
+
+    @pl.when(nxt < n_a * n_blocks)
+    def _():
+        start_fetch(1 - slot, nxt // nb, jax.lax.rem(nxt, nb)).start()
+
+    start_fetch(slot, a, i).wait()
+    out_ref[0] = _score_strip(
+        strip[slot], i, tile_h=tile_h, h=h, w=w, threshold=threshold, nms=nms
+    )
 
 
 @functools.partial(
@@ -143,3 +185,52 @@ def fast_score_nms(
         interpret=interpret,
     )(padded)
     return out[:h, :w]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "nms", "tile_h", "interpret")
+)
+def fast_score_nms_batch(
+    imgs: jnp.ndarray,
+    threshold: float,
+    nms: bool = True,
+    tile_h: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched :func:`fast_score_nms` over a leading agent axis.
+
+    One kernel, grid (A, row_blocks), double-buffered strip DMA — the
+    agent batch is part of the grid (NOT a vmap of per-agent kernels), so
+    per-strip DMA latency overlaps compute across the whole batch.
+    """
+    a, h, w = imgs.shape
+    if not jnp.issubdtype(imgs.dtype, jnp.floating):
+        imgs = imgs.astype(jnp.float32)
+    dtype = imgs.dtype
+
+    h_pad = -(-h // tile_h) * tile_h
+    w_pad = max(-(-w // 128) * 128, 128)
+    n_blocks = h_pad // tile_h
+    padded = jnp.zeros((a, h_pad + 2 * _HALO, w_pad), dtype)
+    padded = jax.lax.dynamic_update_slice(padded, imgs, (0, _HALO, 0))
+
+    kernel = functools.partial(
+        _fast_kernel_batch, tile_h=tile_h, h=h, w=w,
+        threshold=float(threshold), nms=nms, n_blocks=n_blocks,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(a, n_blocks),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w_pad), lambda aa, i: (aa, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((a, h_pad, w_pad), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2 * _HALO, w_pad), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(padded)
+    return out[:, :h, :w]

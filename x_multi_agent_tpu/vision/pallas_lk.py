@@ -47,9 +47,9 @@ def _lk_kernel(
     pts_ref, guess_ref,  # SMEM (FB, 2) — scalar reads
     ip_ref, ic_ref, gx_ref, gy_ref,  # VMEM (HP, WP) whole padded images
     flow_ref, ok_ref,  # VMEM out (FB, 2), (FB, 1) int32
-    nu_v, nu_s, nu_sem,  # VMEM (FB,2) + SMEM mirror + DMA sem
+    nu_v, nu_s, nu_sem,  # VMEM (2*FB,2) + SMEM mirror + DMA sem
     *, half_win: int, n_iters: int, min_eig_thr: float, hp: int, wp: int,
-    pad: int,
+    pad: int, eps: float,
 ):
     w = 2 * half_win + 1
     p = w + 1
@@ -111,43 +111,52 @@ def _lk_kernel(
         ok = min_eig / (w * w) > min_eig_thr
         det_safe = jnp.where(jnp.abs(det) > 1e-12, det, jnp.ones_like(det))
         feats.append((patch_prev, ix, iy, gxx, gxy, gyy, det_safe, ok))
-        # init running flow from the guess (scalar splat -> (1, 2))
+        # init running flow from the guess (scalar splat -> (1, 2)); rows
+        # FB..2FB-1 carry each feature's last |dnu|^2 for the convergence
+        # early-exit (init large so the first iteration always runs)
         nu_v[pl.ds(f, 1), :] = jnp.concatenate(
             [jnp.full((1, 1), guess_ref[f, 0], f32),
              jnp.full((1, 1), guess_ref[f, 1], f32)], axis=1
         )
+        nu_v[pl.ds(_FB + f, 1), :] = jnp.full((1, 2), 1e9, f32)
 
     mirror = pltpu.make_async_copy(nu_v, nu_s, nu_sem)
     mirror.start()
     mirror.wait()
 
-    # ---- unrolled Bouguet iterations
+    # ---- unrolled Bouguet iterations (per-feature convergence skip:
+    # OpenCV termcrit semantics — apply dnu, stop once |dnu|^2 <= eps^2)
+    eps2 = float(eps) * float(eps)
     for _ in range(n_iters):
         for f in range(_FB):
-            patch_prev, ix, iy, gxx, gxy, gyy, det_safe, _ = feats[f]
-            px = pts_ref[f, 0]
-            py = pts_ref[f, 1]
-            sc, fxc, fyc = window(ic_ref, px, py, nu_s[f, 0], nu_s[f, 1])
-            patch_cur = interp(sc, fxc, fyc)
-            di = patch_prev - patch_cur
-            bx_ = s11(di * ix)
-            by_ = s11(di * iy)
-            dnu = jnp.concatenate(
-                [gyy * bx_ - gxy * by_, gxx * by_ - gxy * bx_], axis=1
-            ) / det_safe
-            nu_v[pl.ds(f, 1), :] = nu_v[pl.ds(f, 1), :] + dnu
+            @pl.when(nu_s[_FB + f, 0] > eps2)
+            def _(f=f):
+                patch_prev, ix, iy, gxx, gxy, gyy, det_safe, _ = feats[f]
+                px = pts_ref[f, 0]
+                py = pts_ref[f, 1]
+                sc, fxc, fyc = window(ic_ref, px, py, nu_s[f, 0], nu_s[f, 1])
+                patch_cur = interp(sc, fxc, fyc)
+                di = patch_prev - patch_cur
+                bx_ = s11(di * ix)
+                by_ = s11(di * iy)
+                dnu = jnp.concatenate(
+                    [gyy * bx_ - gxy * by_, gxx * by_ - gxy * bx_], axis=1
+                ) / det_safe
+                nu_v[pl.ds(f, 1), :] = nu_v[pl.ds(f, 1), :] + dnu
+                d2 = jnp.sum(dnu * dnu, axis=1, keepdims=True)
+                nu_v[pl.ds(_FB + f, 1), :] = jnp.concatenate([d2, d2], axis=1)
         mirror = pltpu.make_async_copy(nu_v, nu_s, nu_sem)
         mirror.start()
         mirror.wait()
 
-    flow_ref[:] = nu_v[:]
+    flow_ref[:] = nu_v[:_FB]
     for f in range(_FB):
         ok_ref[pl.ds(f, 1), :] = feats[f][7].astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("half_win", "n_iters", "min_eig_thr", "interpret"),
+    static_argnames=("half_win", "n_iters", "min_eig_thr", "eps", "interpret"),
 )
 def track_level(
     img_prev: jnp.ndarray,
@@ -159,6 +168,7 @@ def track_level(
     half_win: int = 10,
     n_iters: int = 10,
     min_eig_thr: float = 1e-4,
+    eps: float = 0.01,
     interpret: bool = False,
 ):
     """One LK level for all K features (drop-in for ``lk._track_level``)."""
@@ -184,6 +194,7 @@ def track_level(
     kernel = functools.partial(
         _lk_kernel, half_win=half_win, n_iters=n_iters,
         min_eig_thr=float(min_eig_thr), hp=hp, wp=wp, pad=pad,
+        eps=float(eps),
     )
     img_spec = pl.BlockSpec((hp, wp), lambda j: (0, 0), memory_space=pltpu.VMEM)
     flow, ok = pl.pallas_call(
@@ -203,8 +214,8 @@ def track_level(
             jax.ShapeDtypeStruct((kb, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_FB, 2), dtype),
-            pltpu.SMEM((_FB, 2), dtype),
+            pltpu.VMEM((2 * _FB, 2), dtype),
+            pltpu.SMEM((2 * _FB, 2), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -49,10 +49,10 @@ class TrackerParams(NamedTuple):
     # backends, measured 5x faster than the XLA formulation on v5e); the
     # jnp/XLA formulation remains the CPU/test path
     use_pallas: bool | None = None
-    # hand Pallas FAST kernel (pallas_fast.py): defaults OFF — the fused
-    # XLA formulation measured faster on v5e (590us vs 863us at 480x640)
-    # and the manual-DMA kernel does not compose with vmap over agents
-    use_pallas_fast: bool | None = False
+    # hand Pallas FAST kernel (pallas_fast.py): None = auto (on for TPU —
+    # the batched agents-x-strips grid kernel streams each image through
+    # VMEM once instead of XLA's full-image HBM temporaries)
+    use_pallas_fast: bool | None = None
 
 
 def _pytree_dataclass(cls):
@@ -90,25 +90,23 @@ def _resolve_pallas(flag: bool | None) -> bool:
     return jax.default_backend() == "tpu" if flag is None else flag
 
 
-def _detect_new(
+def _detect_new_batch(
     params: TrackerParams,
-    pyramid,
-    existing_pts: jnp.ndarray,
-    existing_valid: jnp.ndarray,
+    pyramid,  # list of (A, h_l, w_l)
+    existing_pts: jnp.ndarray,  # (A, F, 2)
+    existing_valid: jnp.ndarray,  # (A, F)
 ):
     """FAST detection on EVERY pyramid level (reference
     ``getFASTFeaturesPyramid``, tracker.cpp:420-449: per-level cv::FAST,
     candidate coords scaled by 2^level back to base resolution), with
-    suppression of existing-feature neighborhoods.
+    suppression of existing-feature neighborhoods — batched over agents.
 
-    Returns (xy (C,2) base-level coords, score (C,), level (C,), valid (C,))
-    with candidates from all ``pyramid_depth + 1`` levels concatenated.
+    Returns (xy (A,C,2) base-level coords, score (A,C), level (A,C),
+    valid (A,C)) with candidates from all detected levels concatenated.
     Per-tile caps apply within each level; the global score-sorted append in
-    :func:`track_frame` enforces the overall budget (the reference enforces
-    tile caps at append time across levels, tracker.cpp:592-620).
+    :func:`track_frame_batch` enforces the overall budget (the reference
+    enforces tile caps at append time across levels, tracker.cpp:592-620).
     """
-    h, w = pyramid[0].shape
-    m = params.margin
     use_pallas = _resolve_pallas(params.use_pallas_fast)
     xys, scores, levels, valids = [], [], [], []
     # the reference pyramid holds pyramid_depth levels TOTAL (level 0 =
@@ -117,10 +115,10 @@ def _detect_new(
     for l in range(n_levels):
         img_l = pyramid[l]
         # crop to tile-divisible dims (coarse levels may not divide evenly)
-        lh = (img_l.shape[0] // params.n_tiles_h) * params.n_tiles_h
-        lw = (img_l.shape[1] // params.n_tiles_w) * params.n_tiles_w
-        xy_l, score_l, valid_l = fast.detect(
-            img_l[:lh, :lw], params.fast_threshold, params.n_tiles_h,
+        lh = (img_l.shape[1] // params.n_tiles_h) * params.n_tiles_h
+        lw = (img_l.shape[2] // params.n_tiles_w) * params.n_tiles_w
+        xy_l, score_l, valid_l = fast.detect_batch(
+            img_l[:, :lh, :lw], params.fast_threshold, params.n_tiles_h,
             params.n_tiles_w, params.max_feat_per_tile, params.non_max_supp,
             use_pallas=use_pallas,
         )
@@ -129,11 +127,30 @@ def _detect_new(
         scores.append(score_l)
         levels.append(jnp.full(score_l.shape, l, jnp.int32))
         valids.append(valid_l)
-    xy = jnp.concatenate(xys, axis=0)
-    score = jnp.concatenate(scores, axis=0)
-    level = jnp.concatenate(levels, axis=0)
-    valid = jnp.concatenate(valids, axis=0)
+    xy = jnp.concatenate(xys, axis=1)
+    score = jnp.concatenate(scores, axis=1)
+    level = jnp.concatenate(levels, axis=1)
+    valid = jnp.concatenate(valids, axis=1)
+    h, w = pyramid[0].shape[1:]
+    return jax.vmap(
+        lambda *a: _suppress(params, h, w, *a)
+    )(xy, score, level, valid, existing_pts, existing_valid)
 
+
+def _suppress(
+    params: TrackerParams,
+    h: int,
+    w: int,
+    xy: jnp.ndarray,
+    score: jnp.ndarray,
+    level: jnp.ndarray,
+    valid: jnp.ndarray,
+    existing_pts: jnp.ndarray,
+    existing_valid: jnp.ndarray,
+):
+    """Per-agent candidate filtering: image margin, live-feature
+    neighborhood suppression, cross-level dedup."""
+    m = params.margin
     inb = (
         (xy[:, 0] >= m) & (xy[:, 0] < w - m) & (xy[:, 1] >= m) & (xy[:, 1] < h - m)
     )
@@ -145,35 +162,35 @@ def _detect_new(
     )
     near_any = jnp.any(near & existing_valid[None, :], axis=1)
     # dedup across levels: a coarse-level candidate within the suppression
-    # radius of a finer-level candidate with a higher score is dropped
+    # radius of a finer-level candidate with a higher score is dropped;
+    # the suppressor must itself survive the in-bounds/near-existing
+    # filters and actually outscore the coarse candidate
+    keep = valid & inb & ~near_any
     cross = (
         (jnp.abs(xy[:, None, 0] - xy[None, :, 0]) <= params.block_half_length)
         & (jnp.abs(xy[:, None, 1] - xy[None, :, 1]) <= params.block_half_length)
         & (level[:, None] > level[None, :])
-        & valid[None, :]
+        & keep[None, :]
+        & (score[None, :] >= score[:, None])
     )
     dup = jnp.any(cross, axis=1)
-    return xy, score, level, valid & inb & ~near_any & ~dup
+    return xy, score, level, keep & ~dup
 
 
-def track_frame(
+def _track_core(
     params: TrackerParams,
     cam: cam_mod.Camera,
     state: TrackerState,
     img: jnp.ndarray,
-) -> Tuple[TrackerState, Matches]:
-    """One tracker frame. Returns (new_state, matches in normalized
-    undistorted coords)."""
+    pyr_prev,
+    pyr_cur,
+):
+    """Per-agent LK + RANSAC + match construction (everything except
+    detection). Returns (matches, tracked, cur_pts)."""
     f = params.budget
     dtype = img.dtype
-    depth = params.lk_max_level
-
-    pyr_prev = build_pyramid(state.prev_img, depth)
-    pyr_cur = build_pyramid(img, depth)
 
     live = state.ids >= 0
-
-    # -------- LK tracking + RANSAC outlier rejection -----------------------
     cur_pts, ok = lk.track(
         pyr_prev, pyr_cur, state.pts, live & state.has_prev,
         half_win=params.win_half, n_iters=params.lk_iters,
@@ -217,23 +234,29 @@ def track_frame(
         tile=tile,
         level=jnp.where(tracked, state.levels, 0),
     )
+    return matches, tracked, cur_pts
 
-    # -------- slot update + re-detection ----------------------------------
+
+def _integrate(
+    params: TrackerParams,
+    state: TrackerState,
+    img: jnp.ndarray,
+    tracked,
+    cur_pts,
+    cand_xy,
+    cand_score,
+    cand_level,
+    cand_valid,
+):
+    """Per-agent slot update: keep tracked features, fill free slots with
+    the best detection candidates (score-sorted append, tracker.cpp:564-590)."""
+    f = params.budget
+    dtype = img.dtype
     pts1 = jnp.where(tracked[:, None], cur_pts, 0.0)
     ids1 = jnp.where(tracked, state.ids, -1)
     scores1 = jnp.where(tracked, state.scores, 0.0)
     levels1 = jnp.where(tracked, state.levels, 0)
 
-    n_live = jnp.sum(tracked)
-    need_detect = n_live < params.n_feat_min
-
-    cand_xy, cand_score, cand_level, cand_valid = _detect_new(
-        params, pyr_cur, pts1, tracked
-    )
-    cand_valid = cand_valid & need_detect
-
-    # fill free slots with the best candidates (score-sorted append,
-    # tracker.cpp:564-590)
     order = jnp.argsort(-jnp.where(cand_valid, cand_score, -jnp.inf), stable=True)
     cand_xy = cand_xy[order]
     cand_score = cand_score[order]
@@ -260,7 +283,7 @@ def track_frame(
     levels2 = scat(levels1, cand_level)
     next_id = state.next_id + jnp.sum(can_place)
 
-    new_state = TrackerState(
+    return TrackerState(
         pts=pts2,
         ids=ids2,
         scores=scores2,
@@ -269,7 +292,84 @@ def track_frame(
         prev_img=img,
         has_prev=jnp.asarray(True),
     )
+
+
+def _n_candidates(params: TrackerParams, h: int, w: int) -> int:
+    """Static candidate-slot count produced by :func:`_detect_new`."""
+    # len(pyramid) = lk_max_level + 1 (image.build_pyramid)
+    n_levels = min(params.pyramid_depth, params.lk_max_level + 1)
+    return n_levels * params.n_tiles_h * params.n_tiles_w * params.max_feat_per_tile
+
+
+def track_frame_batch(
+    params: TrackerParams,
+    cam: cam_mod.Camera,
+    state: TrackerState,
+    imgs: jnp.ndarray,  # (A, H, W)
+) -> Tuple[TrackerState, Matches]:
+    """One tracker frame for a BATCH of agents (leading axis A on every
+    ``state`` leaf and on ``imgs``).
+
+    Detection follows the reference's re-detect-on-demand semantics
+    (``tracker.cpp:204-228``): the FAST + suppression branch only
+    *executes* when at least one agent has dropped below ``n_feat_min``
+    live tracks (a batch-level ``lax.cond``); per-agent gating of which
+    candidates are actually appended is unchanged. In the steady state
+    (most frames) the whole detection stage is skipped on device.
+    """
+    a, h, w = imgs.shape
+    dtype = imgs.dtype
+    depth = params.lk_max_level
+
+    pyr_prev = jax.vmap(lambda im: build_pyramid(im, depth))(state.prev_img)
+    pyr_cur = jax.vmap(lambda im: build_pyramid(im, depth))(imgs)
+
+    matches, tracked, cur_pts = jax.vmap(
+        lambda st, im, pp, pc: _track_core(params, cam, st, im, pp, pc)
+    )(state, imgs, pyr_prev, pyr_cur)
+
+    pts1 = jnp.where(tracked[..., None], cur_pts, 0.0)
+    n_live = jnp.sum(tracked, axis=1)
+    need_detect = n_live < params.n_feat_min  # (A,)
+
+    c = _n_candidates(params, h, w)
+
+    def do_detect(_):
+        return _detect_new_batch(params, pyr_cur, pts1, tracked)
+
+    def no_detect(_):
+        return (
+            jnp.zeros((a, c, 2), dtype),
+            jnp.zeros((a, c), dtype),
+            jnp.zeros((a, c), jnp.int32),
+            jnp.zeros((a, c), bool),
+        )
+
+    cand_xy, cand_score, cand_level, cand_valid = jax.lax.cond(
+        jnp.any(need_detect), do_detect, no_detect, None
+    )
+    cand_valid = cand_valid & need_detect[:, None]
+
+    new_state = jax.vmap(
+        lambda st, im, trk, cp, cxy, cs, cl, cv: _integrate(
+            params, st, im, trk, cp, cxy, cs, cl, cv
+        )
+    )(state, imgs, tracked, cur_pts, cand_xy, cand_score, cand_level, cand_valid)
     return new_state, matches
+
+
+def track_frame(
+    params: TrackerParams,
+    cam: cam_mod.Camera,
+    state: TrackerState,
+    img: jnp.ndarray,
+) -> Tuple[TrackerState, Matches]:
+    """One tracker frame for a single agent. Returns (new_state, matches
+    in normalized undistorted coords)."""
+    state_b = jax.tree.map(lambda x: jnp.asarray(x)[None], state)
+    new_b, matches_b = track_frame_batch(params, cam, state_b, img[None])
+    unbatch = lambda x: x[0]
+    return jax.tree.map(unbatch, new_b), jax.tree.map(unbatch, matches_b)
 
 
 def _ransac(params: TrackerParams, pts_prev, pts_cur, ok, key):
@@ -282,3 +382,4 @@ def _ransac(params: TrackerParams, pts_prev, pts_cur, ok, key):
 
 
 track_frame_jit = jax.jit(track_frame, static_argnums=(0, 1))
+track_frame_batch_jit = jax.jit(track_frame_batch, static_argnums=(0, 1))
