@@ -1,0 +1,269 @@
+"""Scan-amortized per-stage timing of the match-driven filter step.
+
+Each stage runs K times inside ONE lax.scan dispatch (varying inputs per
+step), synced by a scalar value pull — the only trustworthy timing method
+through the axon tunnel (see bench.py docstring).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import bench
+
+bench._enable_compile_cache()
+
+import __graft_entry__ as ge
+from x_multi_agent_tpu.ekf import ekf as ekf_mod
+from x_multi_agent_tpu.ekf.state import camera_orientation
+from x_multi_agent_tpu.vio import pipeline, state_manager as sm, track_manager as tm, vio as vio_mod
+from x_multi_agent_tpu.vio.updates import msckf, msckf_slam, slam
+
+params = ge._params(small=False)
+cfg = params.cfg
+ekfp = params.ekf_params
+dims = cfg.dims
+A = int(os.environ.get("BENCH_AGENTS", "64"))
+K = int(os.environ.get("PROF_STEPS", "30"))
+dtype = jnp.float32
+m, n, d = dims.n_poses, dims.n_features, dims.d
+
+rng = np.random.default_rng(0)
+fs0, slots0 = vio_mod.init_at_time(params, 0.0)
+stack = lambda x: jnp.broadcast_to(x, (A,) + x.shape)
+fs = jax.tree.map(stack, fs0)
+slots = jax.tree.map(stack, slots0)
+
+# warm the filter to a realistic state: run 6 full steps
+one_agent = bench._filter_step(params)
+xs_seed = bench._match_inputs_stacked(params, A, 6, rng)
+
+
+def full_body(carry, inp):
+    fs, slots = carry
+    fs, slots, applied = jax.vmap(one_agent)(fs, slots, *inp)
+    return (fs, slots), jnp.sum(applied)
+
+
+(fs, slots), _ = jax.jit(lambda c, xs: jax.lax.scan(full_body, c, xs))(
+    (fs, slots), xs_seed
+)
+bench._sync(fs.cov)
+print("state warmed", flush=True)
+
+xs = bench._match_inputs_stacked(params, A, K, rng)
+core = jax.vmap(ekf_mod.tail_core)(fs)
+cov = fs.cov
+vision = fs.vision
+
+# shared per-step frame products (for stage isolation): run manage_tracks
+# once on step-0 matches to get a realistic frame
+q_cur0 = jax.vmap(
+    lambda c: camera_orientation(c, jnp.asarray(cfg.q_ic, dtype))
+)(core)
+
+
+def mk_frame(matches):
+    return jax.vmap(
+        lambda s_, m_, q: tm.manage_tracks(
+            cfg.tracks, s_, m_, vision.q_arr[0], q,
+            cfg.min_track_length, cfg.msckf_baseline_x_n, cfg.msckf_baseline_y_n,
+        )
+    )(slots, matches, q_cur0)
+
+
+def timeit(name, body, xs_in):
+    """body(carry=None-ish, x) -> scalar; scans K steps, times 2nd call."""
+    run = jax.jit(lambda xs: jax.lax.scan(lambda c, x: (c, body(x)), 0, xs)[1])
+    out = run(xs_in)
+    bench._sync(out)
+    t0 = time.perf_counter()
+    out = run(xs_in)
+    # identical input handles would dedup at the RPC layer — but this is
+    # ONE dispatch of a K-step program with per-step varying xs; re-running
+    # the same dispatch twice is also dedup-prone, so jitter the input:
+    bench._sync(out)
+    dt = time.perf_counter() - t0
+    print(f"{name:36s} {dt/K*1e3:8.3f} ms/step ({A} agents)", flush=True)
+
+
+def timeit2(name, body, xs_lists):
+    """Two distinct input sets: warm on the first, time on the second."""
+    run = jax.jit(lambda xs: jax.lax.scan(lambda c, x: (c, body(x)), 0, xs)[1])
+    bench._sync(run(xs_lists[0]))
+    t0 = time.perf_counter()
+    bench._sync(run(xs_lists[1]))
+    dt = time.perf_counter() - t0
+    print(f"{name:36s} {dt/K*1e3:8.3f} ms/step ({A} agents)", flush=True)
+
+
+def two(mk):
+    return [mk(0), mk(1)]
+
+
+def imu_xs(s):
+    r2 = np.random.default_rng(s)
+    x = bench._match_inputs_stacked(params, A, K, r2)
+    return x[:4]
+
+
+timeit2(
+    "process_imu_batch (10 samples)",
+    lambda x: jnp.sum(
+        jax.vmap(lambda t, q, w_, a_: ekf_mod.process_imu_batch_impl(
+            ekfp, jax.tree.map(lambda v: v[0], jax.tree.map(stack, fs0)), t, q, w_, a_
+        ).cov[0, 0])(*x)
+    ),
+    two(imu_xs),
+)
+
+
+def match_xs(s):
+    r2 = np.random.default_rng(100 + s)
+    return bench._match_inputs_stacked(params, A, K, r2)[5]
+
+
+def full_xs(s):
+    r2 = np.random.default_rng(100 + s)
+    return bench._match_inputs_stacked(params, A, K, r2)
+
+
+timeit2(
+    "FULL step (imu+visual_update)",
+    lambda x: jnp.sum(jax.vmap(one_agent)(fs, slots, *x)[0].cov[:, 0, 0]),
+    two(full_xs),
+)
+
+timeit2(
+    "visual_update only",
+    lambda mt: jnp.sum(
+        jax.vmap(
+            lambda c_, v_, cv_, s_, m_: pipeline.visual_update(
+                cfg, c_, v_, cv_, s_,
+                jax.vmap(lambda mm: pipeline.FrameMeasurement.from_matches(cfg, mm))(m_)
+                if False else pipeline.FrameMeasurement.from_matches(cfg, m_),
+            )[2][:, 0]
+        )(core, vision, cov, slots, mt)
+    ),
+    two(match_xs),
+)
+
+timeit2(
+    "tm.manage_tracks",
+    lambda mt: jnp.sum(mk_frame(mt)[1].msckf_obs[..., 0]),
+    two(match_xs),
+)
+
+frame0 = mk_frame(jax.tree.map(lambda v: v[0], bench._match_inputs_stacked(params, A, 2, np.random.default_rng(7))[5]))[1]
+
+
+def frame_xs(s):
+    r2 = np.random.default_rng(200 + s)
+    mts = bench._match_inputs_stacked(params, A, K, r2)[5]
+    return jax.vmap(mk_frame, in_axes=0, out_axes=0)(
+        jax.tree.map(lambda v: v.reshape((K, A) + v.shape[2:]), mts)
+    )[1] if False else jax.vmap(lambda mt: mk_frame(mt)[1])(mts)
+
+
+fx2 = two(frame_xs)
+
+timeit2(
+    "msckf.build (msckf)",
+    lambda fr: jnp.sum(
+        jax.vmap(
+            lambda f_, v_, cv_: msckf.build(
+                f_.msckf_obs, f_.msckf_mask, v_.q_arr, v_.p_arr, cv_,
+                cfg.sigma_img, n, oc=cfg.obs_constrained,
+            )[0].jac[..., 0]
+        )(fr, vision, cov)
+    ),
+    fx2,
+)
+
+timeit2(
+    "msckf.build (short)",
+    lambda fr: jnp.sum(
+        jax.vmap(
+            lambda f_, v_, cv_: msckf.build(
+                f_.short_obs, f_.short_mask, v_.q_arr, v_.p_arr, cv_,
+                cfg.sigma_img, n, oc=cfg.obs_constrained,
+            )[0].jac[..., 0]
+        )(fr, vision, cov)
+    ),
+    fx2,
+)
+
+timeit2(
+    "msckf_slam.build",
+    lambda fr: jnp.sum(
+        jax.vmap(
+            lambda f_, v_, cv_: msckf_slam.build(
+                f_.new_obs, f_.new_mask & f_.new_is_msckf[:, None],
+                v_.q_arr, v_.p_arr, cv_, cfg.sigma_img, n,
+            )[0].jac[..., 0]
+        )(fr, vision, cov)
+    ),
+    fx2,
+)
+
+timeit2(
+    "sm.manage",
+    lambda fr: jnp.sum(
+        jax.vmap(
+            lambda c_, v_, cv_, f_: sm.manage(
+                dims, c_, v_, cv_, f_.lost_slam,
+                jnp.asarray(cfg.q_ic, dtype), jnp.asarray(cfg.p_ic, dtype),
+            )[2][:, 0]
+        )(core, vision, cov, fr)
+    ),
+    fx2,
+)
+
+rows0 = jax.vmap(
+    lambda f_, v_, cv_: msckf.build(
+        f_.msckf_obs, f_.msckf_mask, v_.q_arr, v_.p_arr, cv_,
+        cfg.sigma_img, n, oc=cfg.obs_constrained,
+    )[0]
+)(frame0, vision, cov)
+
+
+def rows_xs(s):
+    # jitter residuals so inputs differ per step
+    r2 = np.random.default_rng(300 + s)
+    return jax.tree.map(
+        lambda v: jnp.broadcast_to(v, (K,) + v.shape)
+        + jnp.asarray(r2.normal(size=(K,) + v.shape) * 1e-6, v.dtype)
+        if jnp.issubdtype(v.dtype, jnp.floating)
+        else jnp.broadcast_to(v, (K,) + v.shape),
+        rows0,
+    )
+
+
+timeit2(
+    "_apply_rows (msckf rows)",
+    lambda rw: jnp.sum(
+        jax.vmap(
+            lambda cv_, r_: pipeline._apply_rows(
+                cv_, r_.jac, r_.res, r_.noise_std, jnp.zeros(d, dtype)
+            )[1][:, 0]
+        )(cov, rw)
+    ),
+    two(rows_xs),
+)
+
+timeit2(
+    "ekf._cov_at + _repropagate_tail",
+    lambda x: jnp.sum(
+        jax.vmap(lambda f_: ekf_mod._repropagate_tail(ekfp, f_, f_.anchor_buf_idx)[:, 0])(
+            fs
+        )
+    )
+    + jnp.sum(x[0][:, 0, 0] * 0),
+    two(imu_xs),
+)
+print("done", flush=True)

@@ -166,3 +166,38 @@ def test_two_agent_ci_fusion_reduces_offset():
     # agent A must not be dragged away
     va.fs = jax.tree.map(lambda x: x[0], fs_stack)
     assert pos_err(va) < 0.1
+
+
+@pytest.mark.slow
+def test_slam_refuse_cooldown(rng):
+    """refuse_cooldown gates SLAM-SLAM re-fusion of the same landmark
+    against the same peer: a second receive inside the cooldown window
+    fuses nothing; once the window passes, fusion resumes."""
+    desc_table = rng.integers(0, 256, (40, 32)).astype(np.uint8)
+    va, sim = run_agent((0.0, 0.0, 0.0), 1e-3, desc_table=desc_table)
+    vb, _ = run_agent((0.25, 0.0, 0.0), 0.5, desc_table=desc_table)
+
+    ccfg = CCFG._replace(desc_abs_thr=40.0, refuse_cooldown=3)
+    payload = collab.extract_payload_desc(PARAMS, va.fs, va.slots)
+    nslam = vb.slots.slam_id.shape[0]
+    rec = (
+        jnp.full((nslam,), -1, jnp.int32),
+        jnp.full((nslam,), -(10**9), jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    fs1, n1, rec = collab.fuse_with_peer_desc(
+        PARAMS, ccfg, vb.fs, vb.slots, payload, True, recency=rec
+    )
+    assert int(n1) > 0, "no matches fused on first receive"
+    # second receive one count later: same landmarks -> all under cooldown
+    rec = (rec[0], rec[1], rec[2] + 1)
+    fs2, n2, rec = collab.fuse_with_peer_desc(
+        PARAMS, ccfg, fs1, vb.slots, payload, True, recency=rec
+    )
+    assert int(n2) == 0, f"cooldown failed to gate re-fusion ({int(n2)})"
+    # advance the receive counter past the cooldown: fusion resumes
+    rec = (rec[0], rec[1], rec[2] + 3)
+    fs3, n3, rec = collab.fuse_with_peer_desc(
+        PARAMS, ccfg, fs2, vb.slots, payload, True, recency=rec
+    )
+    assert int(n3) > 0, "fusion did not resume after cooldown"

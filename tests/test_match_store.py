@@ -176,7 +176,7 @@ def test_two_agent_store_roundtrip(rng, no_compile_cache):
 
     # A broadcasts; B records (opp x collab matches persist in the store)
     pay_a = collab.extract_payload_desc(PARAMS, va.fs, va.slots, n_collab_tracks=8)
-    vb.fs, store, _ = collab.receive_and_record_jit(
+    vb.fs, store, _, _ = collab.receive_and_record_jit(
         PARAMS, ccfg, vb.fs, vb.slots, store, pay_a, 0
     )
     assert int(np.sum(np.array(store.own_id) >= 0)) > 0, "no matches recorded"

@@ -151,3 +151,85 @@ def test_thermal_image_vio_with_photometric_calibration(rng):
     errs = np.array(errs)
     rmse = np.sqrt(np.mean(errs**2))
     assert rmse < 0.25, f"RMSE {rmse:.3f} m under thermal gain drift"
+
+
+@pytest.mark.slow
+def test_thermal_spatial_vignetting_recovered(rng):
+    """Config 2 + spatial: a static spatially non-uniform gain field
+    (corner vignette) on top of drifting global gains. Global-only
+    correction cannot remove it (it violates brightness constancy as
+    features sweep the field); the online spatial solver
+    (irPhotoCalib.cpp:314-406,442-472 equivalent) must estimate a map
+    correlated with the truth and improve tracking.
+
+    Blob amplitudes stay below saturation: clipping at 1.0 systematically
+    biases the residual rows (found the hard way — saturated corners make
+    the estimated field anti-correlate with the truth)."""
+    n_lm = 40
+    landmarks = np.stack(
+        [rng.uniform(-3.5, 3.5, n_lm), rng.uniform(-2.5, 2.5, n_lm),
+         rng.uniform(5, 9, n_lm)], 1,
+    )
+    amps = rng.uniform(70, 140, n_lm)
+    radius, omega = 0.8, 1.2
+    duration, imu_rate, cam_rate = 3.0, 100.0, 10.0
+
+    def pos(t):
+        return np.array(
+            [radius * np.sin(omega * t), radius * (1 - np.cos(omega * t)), 0.0]
+        )
+
+    def acc(t):
+        return np.array(
+            [-radius * omega**2 * np.sin(omega * t),
+             radius * omega**2 * np.cos(omega * t), 0.0]
+        )
+
+    # static spatial offset field: strong corner vignette (normalized units)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    r2 = ((xx - W / 2) / (W / 2)) ** 2 + ((yy - H / 2) / (H / 2)) ** 2
+    ps_true = 0.12 * r2  # up to +0.24 in the corners (~60/255)
+
+    def thermal(img, k):
+        a = 1.0 + 0.008 * k
+        b = 0.002 * k
+        return np.clip((img / 255.0) * (a - b) + b + ps_true, 0, 1) * 255.0
+
+    def run(spatial):
+        v = vio_mod.VIO(PARAMS)
+        v.init_at_time(0.0, v=np.array([radius * omega, 0.0, 0.0]))
+        v.setup_tracker(TPARAMS, CAM, H, W)
+        v.enable_photometric(
+            n_obs=64, spatial=spatial, cell_px=24, spatial_every=5,
+        )
+        v.process_image_measurement(
+            0.0, 0, thermal(render(landmarks, amps, pos(0.0)), 0)
+        )
+        n_imu = int(duration * imu_rate)
+        imu_t = (np.arange(n_imu) + 1) / imu_rate
+        cam_every = int(imu_rate / cam_rate)
+        errs = []
+        k = 1
+        for i, t in enumerate(imu_t):
+            v.process_imu(t, i, np.zeros(3), acc(t) + [0, 0, 9.81])
+            if (i + 1) % cam_every == 0:
+                v.process_image_measurement(
+                    t, i, thermal(render(landmarks, amps, pos(t)), k)
+                )
+                k += 1
+                errs.append(np.linalg.norm(np.array(v.tail_state().p) - pos(t)))
+        return v, np.sqrt(np.mean(np.square(errs)))
+
+    v_sp, rmse_sp = run(True)
+    assert v_sp._photo_ps is not None, "spatial solver never ran"
+    est = np.asarray(v_sp._photo_ps, float)
+    # the estimated map must correlate with the true field (both are
+    # defined up to a constant -> compare centered)
+    est_c = est - est.mean()
+    true_c = ps_true - ps_true.mean()
+    corr = float(
+        (est_c * true_c).sum()
+        / max(np.linalg.norm(est_c) * np.linalg.norm(true_c), 1e-12)
+    )
+    assert corr > 0.5, f"spatial map corr {corr:.2f}"
+    assert np.isfinite(rmse_sp) and rmse_sp < 0.25, f"RMSE {rmse_sp:.3f}"

@@ -53,6 +53,16 @@ class CollabConfig(NamedTuple):
     # cross-agent MSCKF CI weight (reference ci_msckf_w)
     ci_msckf_w: float = 0.01
     max_peers: int = 2  # joint-MSCKF peer budget per track
+    # SLAM-SLAM re-fusion cooldown: once an own landmark has been CI-fused
+    # against a given peer, skip re-fusing that landmark for this many
+    # subsequent receives from the same peer (0 = off). Successive
+    # keyframes from one peer carry nearly identical landmark estimates;
+    # re-fusing them every receive extracts the same information
+    # repeatedly (Kalman-style info adds linearly even under CI weighting)
+    # and makes the collaborative filter overconfident (round-2 replay:
+    # collab NEES 6.4 on 3 dof). The gate is keyed by slam_id, so a slot
+    # that re-initializes a NEW landmark fuses immediately.
+    refuse_cooldown: int = 0
 
 
 def extract_payload(params: vio_mod.VioParams, fs) -> AgentPayload:
@@ -83,7 +93,7 @@ def fuse_with_peer(
             ccfg.match_budget,
         )
         mvalid = mvalid & peer_valid
-        core, vision, cov, n_app = multi_slam.apply_matches(
+        core, vision, cov, n_app, _ = multi_slam.apply_matches(
             dims, core, vision, cov,
             peer.p_arr, peer.q_arr, peer.f_arr, peer.anchor_idx, peer.cov,
             own_idx, other_idx, mvalid,
@@ -104,16 +114,30 @@ def fuse_with_peer_desc(
     slots,
     peer: AgentPayload,
     peer_valid,
+    recency=None,
 ):
     """Descriptor-based SLAM-SLAM fusion (reference
     ``PlaceRecognition::findCorrespondences`` SLAM path +
     ``processOtherMeasurements``): BF-Hamming kNN(2) with ratio/absolute
     gates on the SLAM-track descriptors, then CI fusion of matched
     landmarks. (The chi2(3) gate inside apply_matches subsumes the
-    essential-matrix geometric verification for state-space consistency.)"""
+    essential-matrix geometric verification for state-space consistency.)
+
+    ``recency`` (used when ``ccfg.refuse_cooldown > 0``): a per-THIS-peer
+    tuple (last_id (n_slam,), last_cnt (n_slam,), cnt scalar) — the
+    slam_id last fused per own slot, the receive counter at that fusion,
+    and the current receive counter. Returns (fs, n_applied, recency')."""
     from ..place_recognition.descriptors import knn2_match
 
     dims = params.cfg.dims
+    use_cooldown = ccfg.refuse_cooldown > 0 and recency is not None
+    if recency is None:
+        nslam = slots.slam_id.shape[0]
+        recency = (
+            jnp.full((nslam,), -1, jnp.int32),
+            jnp.full((nslam,), -(10**9), jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
 
     def update_fn(core, vision, cov, aux):
         other_idx, ok = knn2_match(
@@ -168,23 +192,40 @@ def fuse_with_peer_desc(
             # other matches (and at least one)
             need = jnp.maximum(1, (n_ok - 1) // 2)
             ok = ok & (support >= need)
+        if use_cooldown:
+            last_id, last_cnt, cnt = aux[1]
+            fresh = (slots.slam_id != last_id) | (
+                cnt - last_cnt >= ccfg.refuse_cooldown
+            )
+            ok = ok & fresh
         n = dims.n_features
         budget = ccfg.match_budget
         order = jnp.argsort(~ok, stable=True)[:budget]
         own_idx = order.astype(jnp.int32)
         mvalid = ok[order] & peer_valid
-        core, vision, cov, n_app = multi_slam.apply_matches(
+        core, vision, cov, n_app, applied = multi_slam.apply_matches(
             dims, core, vision, cov,
             peer.p_arr, peer.q_arr, peer.f_arr, peer.anchor_idx, peer.cov,
             own_idx, other_idx[order], mvalid,
             ccfg.sigma_landmark, ccfg.ci_slam_w,
         )
-        return core, vision, cov, aux + n_app
+        if use_cooldown:
+            last_id = last_id.at[own_idx].set(
+                jnp.where(applied, slots.slam_id[own_idx], last_id[own_idx])
+            )
+            last_cnt = last_cnt.at[own_idx].set(
+                jnp.where(applied, cnt, last_cnt[own_idx])
+            )
+            rec1 = (last_id, last_cnt, cnt)
+        else:
+            rec1 = aux[1]
+        return core, vision, cov, (aux[0] + n_app, rec1)
 
-    fs, n_applied, ok = ekf_mod.process_update_aux_impl(
-        params.ekf_params, fs, peer.time, update_fn, jnp.asarray(0, jnp.int32)
+    fs, (n_applied, recency1), ok = ekf_mod.process_update_aux_impl(
+        params.ekf_params, fs, peer.time, update_fn,
+        (jnp.asarray(0, jnp.int32), recency),
     )
-    return fs, n_applied
+    return fs, n_applied, recency1
 
 
 def collaborative_round(params: vio_mod.VioParams, ccfg: CollabConfig, fs_stack):
@@ -465,7 +506,7 @@ def request_response_round(
     def consume(fs, slots, my_id):
         def one_peer(fs, b):
             kf = jax.tree.map(lambda x: x[b, my_id], kf_grid)
-            fs, n = fuse_with_peer_desc(
+            fs, n, _ = fuse_with_peer_desc(
                 params, ccfg, fs, slots, kf, hit_grid[b, my_id]
             )
             return fs, n
@@ -494,22 +535,26 @@ def receive_and_record(
     payload: AgentPayload,
     uav_id,
     payload_valid=True,
+    recency=None,
 ):
     """Reference ``VIO::processOtherMeasurements`` with persistence:
     SLAM-SLAM matches are CI-fused immediately (as in the reference's
     ``collaborativeUpdate``); own-OPP descriptor matches against the
     peer's collaborative/SLAM sets are recorded in the match store and
     consumed by later visual updates once the own track matures
-    (``updateOppMatches`` upgrade semantics)."""
+    (``updateOppMatches`` upgrade semantics). ``recency`` is the per-peer
+    re-fusion cooldown state (see :func:`fuse_with_peer_desc`)."""
     from . import match_store as ms_mod
 
-    fs, n = fuse_with_peer_desc(params, ccfg, fs, slots, payload, payload_valid)
+    fs, n, recency1 = fuse_with_peer_desc(
+        params, ccfg, fs, slots, payload, payload_valid, recency=recency
+    )
     store = ms_mod.record(
         store, slots, payload, uav_id,
         ccfg.desc_ratio_thr, ccfg.desc_abs_thr, store_when=payload_valid,
         ransac_thr=ccfg.pr_ransac_thr,
     )
-    return fs, store, n
+    return fs, store, n, recency1
 
 
 receive_and_record_jit = jax.jit(receive_and_record, static_argnums=(0, 1))

@@ -208,8 +208,8 @@ def estimate_spatial_parameters(
     sid_cur: jnp.ndarray,  # (S,)
     vec_b: jnp.ndarray,  # (S,) rhs
     valid: jnp.ndarray,  # (S,)
-    gp_length_scale: float = 5.0,
-    gp_sigma_f: float = 0.01,
+    gp_length_scale: float = 1.5,
+    gp_sigma_f: float = 0.1,
     gp_sigma_n: float = 0.01,
 ) -> jnp.ndarray:
     """Per-cell offsets: solve the +1/-1 difference system (rows

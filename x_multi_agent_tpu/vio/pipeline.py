@@ -224,7 +224,7 @@ def visual_update(
         (ss_own, ss_peer, ss_p, ss_q, ss_f, ss_a, ss_cov, ss_ok) = (
             ms_mod.gather_peer_slam(store, work)
         )
-        core, vision, cov, n_ss = multi_slam.apply_matches_pairs(
+        core, vision, cov, n_ss, _ = multi_slam.apply_matches_pairs(
             dims, core, vision, cov, ss_p, ss_q, ss_f, ss_a, ss_cov,
             ss_own, ss_peer, ss_ok,
             collab_cfg.sigma_landmark, collab_cfg.ci_slam_w,

@@ -145,12 +145,12 @@ def apply_matches_pairs(
             return core1, vision1, cov1
 
         core, vision, cov = jax.lax.cond(ok, do, lambda a: a, (core, vision, cov))
-        return (core, vision, cov, n_app + ok.astype(jnp.int32)), None
+        return (core, vision, cov, n_app + ok.astype(jnp.int32)), ok
 
-    (core, vision, cov, n_app), _ = jax.lax.scan(
+    (core, vision, cov, n_app), applied = jax.lax.scan(
         body, (core, vision, cov, jnp.asarray(0, jnp.int32)), jnp.arange(k)
     )
-    return core, vision, cov, n_app
+    return core, vision, cov, n_app, applied
 
 
 def apply_matches(

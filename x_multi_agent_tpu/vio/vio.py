@@ -227,46 +227,166 @@ class VIO:
 
         self._tracker_params = tracker_params
         self._camera = camera
+        self._img_hw = (img_height, img_width)
         self._tracker_state = trk_mod.TrackerState.zero(
             tracker_params, img_height, img_width, self.params.jdtype
         )
 
     def enable_photometric(self, n_obs: int = 100, epsilon_gap: float = 0.02,
-                           epsilon_base: float = 0.005):
+                           epsilon_base: float = 0.005, n_history: int = 3,
+                           spatial: bool = False,
+                           cell_px: int = 40, spatial_every: int = 10,
+                           spatial_window: int = 64):
         """PHOTOMETRIC_CALI equivalent: online thermal gain calibration.
         Images are corrected with the previous frame's gains before
         tracking (one-frame lag, like the reference's detached refinement
-        thread); gains update from matched-feature intensities."""
+        thread); gains update from matched-feature intensities.
+
+        ``spatial=True`` additionally solves per-cell spatial offsets from
+        the gain-corrected matched-intensity residuals every
+        ``spatial_every`` frames (reference's detached spatial thread,
+        ``irPhotoCalib.cpp:202-209,314-406``) and applies the
+        GPR-smoothed map inside every subsequent correction
+        (``getCorrectedImage``, irPhotoCalib.cpp:442-472)."""
         from ..photometric import calib as photo
 
-        self._photo_dims = photo.PhotoDims(n_history=1, n_obs=n_obs)
+        self._photo_dims = photo.PhotoDims(n_history=n_history, n_obs=n_obs)
         self._photo_state = photo.PhotoState.zero(self._photo_dims, self.params.jdtype)
         self._photo_eps = (epsilon_gap, epsilon_base)
-        self._photo_prev_raw = None
+        self._photo_hist = []  # newest-first [(raw, pts, ids)] ring
         self._photo_frame = 0
+        self._photo_ps = None  # (H, W) spatial offset map (normalized units)
+        self._photo_spatial = None
+        if spatial:
+            h, w = self._img_hw
+            ncx = -(-w // cell_px)
+            ncy = -(-h // cell_px)
+            s = n_obs * spatial_window  # residual-row ring capacity
+            self._photo_spatial = dict(
+                cell_px=cell_px, ncx=ncx, ncy=ncy, every=spatial_every,
+                sid_hist=jnp.zeros((s,), jnp.int32),
+                sid_cur=jnp.zeros((s,), jnp.int32),
+                rhs=jnp.zeros((s,), self.params.jdtype),
+                valid=jnp.zeros((s,), bool),
+                ptr=0,
+            )
 
     def _photometric_update(self, raw_img, old_tracker_state, matches):
-        """Update the gain chain from matched-feature intensities (raw
-        previous vs raw current image at prev/tracked positions)."""
+        """Update the gain chain from matched-feature intensities: the
+        current raw frame vs up to ``n_history`` previous raw frames at
+        the same track slots (id-checked), reference
+        ``ProcessCurrentFrame`` multi-history aggregation."""
         from ..photometric import calib as photo
         from ..vision.image import bilinear_sample
 
-        if self._photo_prev_raw is not None:
-            n = self._photo_dims.n_obs
-            prev_pts = old_tracker_state.pts[:n]
-            cur_pts = self._tracker_state.pts[:n]  # tracked positions
-            ok = matches.valid[:n]
-            prev_int = bilinear_sample(self._photo_prev_raw, prev_pts) / 255.0
-            cur_int = bilinear_sample(raw_img, cur_pts) / 255.0
-            self._photo_state, _, _ = photo.process_frame(
+        n = self._photo_dims.n_obs
+        fh = self._photo_dims.n_history
+        cur_pts = self._tracker_state.pts[:n]  # tracked positions
+        cur_ids = self._tracker_state.ids[:n]
+
+        def sample(img, pts):
+            # small-patch mean: a point sample at a tracked peak is very
+            # sensitive to subpixel tracking error; the 5-point cross mean
+            # is much flatter (matters for the spatial residuals)
+            offs = jnp.asarray(
+                [[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]]
+            )
+            vals = jax.vmap(
+                lambda o: bilinear_sample(img, pts + o)
+            )(offs)
+            return jnp.mean(vals, axis=0) / 255.0
+
+        if self._photo_hist:
+            cur_int = sample(raw_img, cur_pts)
+            hist_ints, pair_valids, hist_pts_l = [], [], []
+            for raw_k, pts_k, ids_k in self._photo_hist[:fh]:
+                hist_ints.append(sample(raw_k, pts_k))
+                pair_valids.append((ids_k == cur_ids) & (cur_ids >= 0))
+                hist_pts_l.append(pts_k)
+            n_real = len(hist_ints)
+            while len(hist_ints) < fh:
+                hist_ints.append(jnp.zeros_like(cur_int))
+                pair_valids.append(jnp.zeros_like(pair_valids[0]))
+                hist_pts_l.append(jnp.zeros_like(cur_pts))
+            hist_int = jnp.stack(hist_ints)
+            pair_valid = jnp.stack(pair_valids)
+            offsets = jnp.asarray(
+                [min(k + 1, n_real) for k in range(fh)], jnp.int32
+            )
+            self._photo_state, a_cur, b_cur = photo.process_frame(
                 self._photo_dims, self._photo_state,
-                prev_int[None, :], cur_int[None, :], ok[None, :],
-                jnp.asarray([1], jnp.int32),
+                hist_int, jnp.broadcast_to(cur_int, hist_int.shape),
+                pair_valid, offsets,
                 jax.random.PRNGKey(self._photo_frame),
                 epsilon_gap=self._photo_eps[0], epsilon_base=self._photo_eps[1],
             )
-        self._photo_prev_raw = raw_img
+            if self._photo_spatial is not None:
+                w = self._photo_dims.window
+                ptr = self._photo_state.frame_ptr
+                for k in range(n_real):
+                    g_hist = self._photo_state.params_pt[(ptr - (k + 1)) % w]
+                    self._accumulate_spatial(
+                        hist_pts_l[k], cur_pts, pair_valids[k],
+                        hist_ints[k], cur_int,
+                        g_hist[0], g_hist[1], a_cur, b_cur,
+                    )
+        self._photo_hist.insert(0, (raw_img, cur_pts, cur_ids))
+        del self._photo_hist[fh:]
         self._photo_frame += 1
+        sp = self._photo_spatial
+        if (
+            sp is not None
+            and self._photo_frame % sp["every"] == 0
+            and int(jnp.sum(sp["valid"])) >= 20
+        ):
+            from ..photometric import calib as photo
+
+            cells = _spatial_solve_jit(
+                sp["ncx"], sp["ncy"], sp["sid_hist"], sp["sid_cur"],
+                sp["rhs"], sp["valid"],
+            )
+            h, w = self._img_hw
+            self._photo_ps = photo.expand_spatial(cells, h, w, sp["cell_px"])
+
+    def _accumulate_spatial(self, prev_pts, cur_pts, ok, prev_int, cur_int,
+                            a_prev, b_prev, a_cur, b_cur):
+        """Append spatial residual rows: after per-frame GLOBAL gain
+        correction, the remaining matched-intensity difference is
+        attributed to the per-cell offsets: ps[cell_cur] - ps[cell_prev]
+        = corr_cur - corr_prev (reference EstimateSpatialParameters row
+        construction, irPhotoCalib.cpp:314-386)."""
+        sp = self._photo_spatial
+        div = sp["cell_px"]
+        ncx = sp["ncx"]
+
+        def cell_id(pts):
+            cx = jnp.clip((pts[:, 0] // div).astype(jnp.int32), 0, ncx - 1)
+            cy = jnp.clip(
+                (pts[:, 1] // div).astype(jnp.int32), 0, sp["ncy"] - 1
+            )
+            return cy * ncx + cx
+
+        corr_prev = prev_int * (a_prev - b_prev) + b_prev
+        corr_cur = cur_int * (a_cur - b_cur) + b_cur
+        rows = corr_cur - corr_prev
+        # per-pair bias removal: residual gain-estimation error adds a
+        # CONSTANT offset to every row of this frame pair; the same-cell
+        # rows (whose spatial expectation is zero) estimate it directly
+        sid_p = cell_id(prev_pts)
+        sid_c = cell_id(cur_pts)
+        same = (sid_p == sid_c) & ok
+        n_same = jnp.maximum(jnp.sum(same), 1)
+        bias = jnp.sum(jnp.where(same, rows, 0.0)) / n_same
+        rows = jnp.where(jnp.sum(same) >= 3, rows - bias, rows)
+        n = rows.shape[0]
+        p = sp["ptr"]
+        s = sp["valid"].shape[0]
+        idx = (p + jnp.arange(n)) % s
+        sp["sid_hist"] = sp["sid_hist"].at[idx].set(sid_p)
+        sp["sid_cur"] = sp["sid_cur"].at[idx].set(sid_c)
+        sp["rhs"] = sp["rhs"].at[idx].set(rows.astype(sp["rhs"].dtype))
+        sp["valid"] = sp["valid"].at[idx].set(ok)
+        sp["ptr"] = (p + n) % s
 
     def process_image_measurement(self, t: float, seq: int, img):
         """Track features in the image, then run the visual update
@@ -279,9 +399,9 @@ class VIO:
             from ..photometric import calib as photo
 
             pt = self._photo_state.params_pt[self._photo_state.frame_ptr]
-            img = photo.correct_image(raw_img, pt[0], pt[1]).astype(
-                self.params.jdtype
-            )
+            img = photo.correct_image(
+                raw_img, pt[0], pt[1], params_ps=self._photo_ps
+            ).astype(self.params.jdtype)
         old_tracker_state = self._tracker_state
 
         self._tracker_state, matches = trk_mod.track_frame_jit(
@@ -370,13 +490,35 @@ class VIO:
         """Receive a peer payload (reference ``VIO::processOtherMeasurements``,
         vio.cpp:498-570): SLAM-SLAM matches CI-fuse immediately; OPP matches
         are recorded and consumed by later visual updates. Returns the
-        number of immediately fused matches."""
+        number of immediately fused matches.
+
+        When ``ccfg.refuse_cooldown > 0`` a per-peer recency table gates
+        SLAM-SLAM re-fusion of the same own landmark against the same peer
+        (consistency guard: repeated fusion of a peer's slowly-evolving
+        landmark estimates double-counts information)."""
         from ..parallel import collab as collab_mod
 
-        self.fs, self._store, n = collab_mod.receive_and_record_jit(
+        recency = None
+        if self._ccfg.refuse_cooldown > 0:
+            if not hasattr(self, "_fuse_recency"):
+                self._fuse_recency = {}
+            nslam = self.slots.slam_id.shape[0]
+            rec = self._fuse_recency.get(uav_id)
+            if rec is None:
+                rec = (
+                    jnp.full((nslam,), -1, jnp.int32),
+                    jnp.full((nslam,), -(10**9), jnp.int32),
+                    jnp.asarray(0, jnp.int32),
+                )
+            recency = rec
+        self.fs, self._store, n, recency1 = collab_mod.receive_and_record_jit(
             self.params, self._ccfg, self.fs, self.slots, self._store,
             payload, jnp.asarray(uav_id, jnp.int32), jnp.asarray(bool(valid)),
+            recency,
         )
+        if recency is not None:
+            last_id, last_cnt, cnt = recency1
+            self._fuse_recency[uav_id] = (last_id, last_cnt, cnt + 1)
         return int(n)
 
     # -- visual updates -------------------------------------------------------
@@ -476,3 +618,15 @@ def _quat_from_two_vectors(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return np.array([axis[0], axis[1], axis[2], 0.0])
     q = np.array([c[0], c[1], c[2], w])
     return q / np.linalg.norm(q)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _spatial_solve_jit(ncx, ncy, sid_hist, sid_cur, rhs, valid):
+    """Jitted spatial-offset solve + GPR smoothing (the reference's
+    detached spatial-calibration thread body, irPhotoCalib.cpp:314-406;
+    async dispatch plays the detached-thread role here)."""
+    from ..photometric import calib as photo
+
+    return photo.estimate_spatial_parameters(
+        ncx, ncy, sid_hist, sid_cur, rhs, valid
+    )
