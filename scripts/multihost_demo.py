@@ -14,10 +14,17 @@ a DCN run would exercise). The full per-frame step and the collaborative
 all_gather+CI round are jitted over the global mesh; the collective
 crosses process boundaries exactly as it would cross hosts.
 
+All agents are driven through a SHARED synthetic scene (the same drive
+as ``__graft_entry__.dryrun_multichip``), so their SLAM maps hold the
+same world landmarks and the exchange round fuses REAL cross-agent
+matches — ``exchange_matches`` must come out > 0 (round-2's random-match
+drive fused nothing; VERDICT item 2).
+
 Usage:
-  python scripts/multihost_demo.py                 # 2 hosts x 4 devices
-  python scripts/multihost_demo.py --hosts 4 --devices-per-host 2
-Prints one JSON line (from host 0) with per-step timing.
+  python scripts/multihost_demo.py                    # one config
+  python scripts/multihost_demo.py --sweep            # hosts x agents sweep
+      -> writes MULTIHOST.json at the repo root
+Prints one JSON line per config (from host 0).
 """
 import argparse
 import json
@@ -54,10 +61,12 @@ def worker(args) -> None:
         num_processes=args.hosts,
         process_id=args.process_id,
     )
+    import numpy as np
     import jax.numpy as jnp
 
     sys.path.insert(0, REPO)
     from x_multi_agent_tpu.parallel import collab, mesh as pmesh
+    from x_multi_agent_tpu.utils.sim import make_circle_sim
     from x_multi_agent_tpu.vio import pipeline, track_manager as tm, vio as vio_mod
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -73,73 +82,84 @@ def worker(args) -> None:
     aspec = NamedSharding(mesh, P("agents"))
     rspec = NamedSharding(mesh, P())
 
-    n_imu = 4
     j = cfg.tracks.n_matches
+    n_per = 10  # imu_rate / cam_rate
 
-    # All inputs are built on-device inside jit (deterministic, no host
-    # randomness), sharded over the agent axis — no per-process host
-    # arrays to stitch into global arrays.
+    # shared scene: all agents see the SAME landmarks (small per-agent
+    # init offsets); the collaborative round then has real associations
+    sim = make_circle_sim(
+        duration=(args.iters + 2) / 10.0, imu_rate=100.0, cam_rate=10.0,
+        n_landmarks=30, match_budget=j, pixel_noise=5e-4, seed=1,
+    )
+    rng = np.random.default_rng(0)
+    offsets_np = rng.normal(size=(n_agents, 3)).astype(np.float32) * 0.03
+    v0 = jnp.asarray([1.8, 0.0, 0.0], jnp.float32)
+
     def build_state():
-        fs, slots = vio_mod.init_at_time(params, 0.0)
-        stack = lambda x: jnp.broadcast_to(x, (n_agents,) + x.shape)
-        return jax.tree.map(stack, fs), jax.tree.map(stack, slots)
+        offs = jnp.asarray(offsets_np)
+        fs, slots = jax.vmap(
+            lambda off: vio_mod.init_at_time(params, 0.0, p=off, v=v0)
+        )(offs)
+        return fs, slots
 
     fs, slots = jax.jit(build_state, out_shardings=(aspec, aspec))()
 
-    def build_frame(k):
-        t0 = k * n_imu * 0.005
-        times = jnp.broadcast_to(
-            t0 + (jnp.arange(1, n_imu + 1, dtype=jnp.float32)) * 0.005,
-            (n_agents, n_imu),
+    def build_frame(f):
+        sl = slice(f * n_per + 1, (f + 1) * n_per + 1)
+        bcast = lambda x: jnp.broadcast_to(
+            jnp.asarray(x, jnp.float32), (n_agents,) + np.shape(x)
         )
+        times = bcast(sim.imu_t[sl])
         seqs = jnp.broadcast_to(
-            jnp.arange(n_imu, dtype=jnp.int32) + k * n_imu, (n_agents, n_imu)
+            jnp.arange(sl.start, sl.stop, dtype=jnp.int32), (n_agents, n_per)
         )
-        w = jnp.zeros((n_agents, n_imu, 3), jnp.float32)
-        a = jnp.broadcast_to(
-            jnp.asarray([0.0, 0.0, 9.81], jnp.float32), (n_agents, n_imu, 3)
-        )
-        key = jax.random.key(k)
-        pts = jax.random.normal(key, (2, n_agents, j, 2), jnp.float32) * 0.2
+        w = bcast(sim.imu_w[sl])
+        a = bcast(sim.imu_a[sl])
         matches = tm.Matches.of(
-            track_id=jnp.broadcast_to(jnp.arange(j, dtype=jnp.int32), (n_agents, j)),
-            prev_pt=pts[0],
-            cur_pt=pts[1],
-            valid=jnp.ones((n_agents, j), bool),
+            track_id=jnp.broadcast_to(
+                jnp.asarray(sim.match_id[f], jnp.int32), (n_agents, j)
+            ),
+            prev_pt=bcast(sim.match_prev[f]),
+            cur_pt=bcast(sim.match_cur[f]),
+            valid=jnp.broadcast_to(
+                jnp.asarray(sim.match_valid[f]), (n_agents, j)
+            ),
         )
-        meas = jax.vmap(lambda m: pipeline.FrameMeasurement.from_matches(cfg, m))(
-            matches
-        )
-        return times, seqs, w, a, times[:, -1], meas
+        meas = jax.vmap(
+            lambda m: pipeline.FrameMeasurement.from_matches(cfg, m)
+        )(matches)
+        meas_time = jnp.full((n_agents,), float(sim.cam_t[f]), jnp.float32)
+        return times, seqs, w, a, meas_time, meas
 
     shardings = (aspec,) * 6
     frames = [
-        jax.jit(build_frame, static_argnums=0, out_shardings=shardings)(k)
-        for k in range(args.iters + 1)
+        jax.jit(build_frame, static_argnums=0, out_shardings=shardings)(f)
+        for f in range(args.iters + 1)
     ]
 
     step = pmesh.sharded_step(params, mesh)
     ccfg = collab.CollabConfig()
     round_fn = pmesh.sharded_collab_round(params, ccfg, mesh)
 
-    # warmup / compile
+    # warmup / compile on frame 0
     fs, slots, applied = step(fs, slots, *frames[0])
     fs, n_matches = round_fn(fs)
     jax.block_until_ready(fs.cov)
 
+    match_total = 0
     t0 = time.perf_counter()
     for k in range(1, args.iters + 1):
         fs, slots, applied = step(fs, slots, *frames[k])
         fs, n_matches = round_fn(fs)
+        summarize = jax.jit(
+            lambda nm: nm.sum(), out_shardings=rspec
+        )
+        match_total += int(jax.device_get(summarize(n_matches)))
     jax.block_until_ready(fs.cov)
     elapsed = time.perf_counter() - t0
 
-    # reduce the sharded outputs to replicated scalars (device_get on a
-    # cross-process sharded array is not addressable from one process)
-    summarize = jax.jit(
-        lambda ap, nm: (ap.all(), nm.sum()), out_shardings=(rspec, rspec)
-    )
-    applied_all, match_sum = jax.device_get(summarize(applied, n_matches))
+    summarize2 = jax.jit(lambda ap: ap.all(), out_shardings=rspec)
+    applied_all = bool(jax.device_get(summarize2(applied)))
 
     if args.process_id == 0:
         per_step_ms = elapsed / args.iters * 1e3
@@ -153,45 +173,32 @@ def worker(args) -> None:
                     "value": round(per_step_ms, 2),
                     "unit": "ms/frame (visual update + IMU batch + "
                     "all-gather CI exchange round, all hosts)",
-                    "applied": bool(applied_all),
-                    "exchange_matches": int(match_sum),
+                    "applied": applied_all,
+                    "exchange_matches": match_total,
                 }
             ),
             flush=True,
         )
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--hosts", type=int, default=2)
-    ap.add_argument("--devices-per-host", type=int, default=4)
-    ap.add_argument("--agents-per-device", type=int, default=1)
-    ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--worker", action="store_true")
-    ap.add_argument("--process-id", type=int, default=0)
-    ap.add_argument("--coordinator", type=str, default="")
-    args = ap.parse_args()
-
-    if args.worker:
-        worker(args)
-        return
-
+def launch(hosts, devices_per_host, agents_per_device, iters):
+    """Spawn one config's process set; return parsed host-0 JSON."""
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={args.devices_per_host}"
+        + f" --xla_force_host_platform_device_count={devices_per_host}"
     ).strip()
     # each "host" is a separate OS process; collectives between them run
     # over the jax.distributed gRPC transport. Non-coordinator workers log
     # to /tmp so crashes are diagnosable (ADVICE r1).
     procs = []
     logs = []
-    for pid in range(args.hosts):
+    for pid in range(hosts):
         if pid == 0:
-            stdout, stderr = None, subprocess.STDOUT
+            stdout, stderr = subprocess.PIPE, subprocess.STDOUT
             logs.append(None)
         else:
             log = open(f"/tmp/multihost_demo_worker{pid}.log", "w")
@@ -201,10 +208,10 @@ def main() -> None:
             subprocess.Popen(
                 [
                     sys.executable, os.path.abspath(__file__), "--worker",
-                    "--hosts", str(args.hosts),
-                    "--devices-per-host", str(args.devices_per_host),
-                    "--agents-per-device", str(args.agents_per_device),
-                    "--iters", str(args.iters),
+                    "--hosts", str(hosts),
+                    "--devices-per-host", str(devices_per_host),
+                    "--agents-per-device", str(agents_per_device),
+                    "--iters", str(iters),
                     "--process-id", str(pid),
                     "--coordinator", coordinator,
                 ],
@@ -213,19 +220,85 @@ def main() -> None:
                 stderr=stderr,
             )
         )
-    rc = 0
-    for pid, p in enumerate(procs):
+    out0, _ = procs[0].communicate()
+    result = None
+    for line in out0.decode().splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            result = json.loads(line)
+        else:
+            print(line)
+    rc = procs[0].returncode
+    for pid, p in enumerate(procs[1:], start=1):
         wrc = p.wait()
         if logs[pid] is not None:
             logs[pid].close()
         if wrc != 0:
             print(
-                f"worker {pid} exited with {wrc}"
-                + (f" (log: /tmp/multihost_demo_worker{pid}.log)" if pid else ""),
+                f"worker {pid} exited with {wrc} "
+                f"(log: /tmp/multihost_demo_worker{pid}.log)",
                 file=sys.stderr,
             )
-            rc = 1
-    sys.exit(rc)
+            rc = rc or 1
+    if rc != 0 or result is None:
+        raise RuntimeError(f"config hosts={hosts} failed (rc={rc})")
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hosts", type=int, default=2)
+    ap.add_argument("--devices-per-host", type=int, default=4)
+    ap.add_argument("--agents-per-device", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--coordinator", type=str, default="")
+    ap.add_argument("--sweep", action="store_true",
+                    help="hosts x agents sweep -> MULTIHOST.json")
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(REPO, "MULTIHOST.json"))
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args)
+        return
+
+    if not args.sweep:
+        result = launch(args.hosts, args.devices_per_host,
+                        args.agents_per_device, args.iters)
+        print(json.dumps(result))
+        return
+
+    # BASELINE.md third axis: N hosts with agent count swept. 8 global
+    # devices split 2 or 4 ways; agents per device 1/4/16 -> 8/32/128.
+    configs = [
+        (2, 4, 1), (2, 4, 4), (2, 4, 16),
+        (4, 2, 1), (4, 2, 4), (4, 2, 16),
+    ]
+    points = []
+    for hosts, dph, apd in configs:
+        print(f"=== hosts={hosts} devices/host={dph} agents={hosts*dph*apd} ===",
+              flush=True)
+        r = launch(hosts, dph, apd, args.iters)
+        r["agents_per_ms"] = round(r["agents"] / r["value"], 3)
+        points.append(r)
+        print(json.dumps(r), flush=True)
+    base = points[0]["agents_per_ms"]
+    for r in points:
+        # throughput per agent relative to the smallest config: how much
+        # of the per-agent rate survives as agents/hosts scale up
+        r["scaling_efficiency"] = round(r["agents_per_ms"] / base, 3)
+    report = {
+        "transport": "jax.distributed gRPC (CPU multi-process stand-in for DCN)",
+        "drive": "shared-scene (real cross-agent landmark fusion)",
+        "iters_per_config": args.iters,
+        "sweep": points,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -25,8 +25,13 @@ PARAMS = vio_mod.VioParams(
     sigma_dv=(0.05, 0.05, 0.05), sigma_dtheta_deg=(1.0, 1.0, 1.0),
     sigma_dbw_deg=(1.0, 1.0, 1.0), sigma_dba=(0.05, 0.05, 0.05),
 )
+# conservative CI regime — the reference's own default ("0.99 for the
+# current uav and 0.01 distributed among the others", ci.cpp:55-57). With
+# the joint per-round SLAM update, a small peer weight both converges
+# (the mean correction is barely discounted when own cov dominates S)
+# and stays chi2-consistent (the posterior keeps honest slack).
 CCFG = collab.CollabConfig(
-    sigma_landmark=0.02, ci_slam_w=0.5, gt_match_dist=0.6, match_budget=8
+    sigma_landmark=0.1, ci_slam_w=0.05, gt_match_dist=0.6, match_budget=8
 )
 
 

@@ -18,3 +18,14 @@ def test_collaborative_ate_gain():
     assert res.gain > 0.46, res
     # the well-initialized helper is not dragged away by CI fusion
     assert res.ate_helper < 0.1, res
+
+
+@pytest.mark.slow
+def test_collaborative_nees_consistency():
+    """Collab-path consistency gate (round-2 VERDICT item 3): the degraded
+    agent's mean position NEES during the collaborative run must stay
+    inside a chi2(3) band — CI fusion exists precisely to preserve
+    consistency under unknown cross-correlation (ci.cpp:16-47)."""
+    res = run_collab_gain(PARAMS, CCFG)
+    assert res.gain > 0.46, res
+    assert 0.2 < res.mean_nees_collab < 5.0, res

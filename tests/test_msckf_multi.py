@@ -70,7 +70,7 @@ def test_joint_msckf_ci_reduces_offset(rng):
         own_obs, own_mask, own_inlier, own_desc, own_desc_valid,
         jnp.broadcast_to(jnp.asarray(p_peer), (p_max, M, 3)),
         jnp.broadcast_to(jnp.asarray(q_peer), (p_max, M, 4)),
-        jnp.broadcast_to(peer_cov, (p_max, D, D)),
+        jnp.broadcast_to(peer_cov[15 : 15 + 6 * M, 15 : 15 + 6 * M], (p_max, 6 * M, 6 * M)),
         peer_trk_obs, peer_trk_mask, peer_trk_desc, peer_trk_desc_valid,
         peer_valid=jnp.asarray([True, False]),
         sigma_img=2e-3,
@@ -91,7 +91,7 @@ def test_joint_msckf_ci_reduces_offset(rng):
         own_obs, own_mask, own_inlier, own_desc, own_desc_valid,
         jnp.broadcast_to(jnp.asarray(p_peer), (p_max, M, 3)),
         jnp.broadcast_to(jnp.asarray(q_peer), (p_max, M, 4)),
-        jnp.broadcast_to(peer_cov, (p_max, D, D)),
+        jnp.broadcast_to(peer_cov[15 : 15 + 6 * M, 15 : 15 + 6 * M], (p_max, 6 * M, 6 * M)),
         peer_trk_obs, peer_trk_mask, peer_trk_desc, peer_trk_desc_valid,
         peer_valid=jnp.asarray([True, False]),
         sigma_img=2e-3,

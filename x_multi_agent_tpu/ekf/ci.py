@@ -32,8 +32,22 @@ def fuse_pairwise(
     """Returns (S, w_result). ``w_other`` < 0 requests on-line weight search
     (reference NLopt path) — replaced by a fixed-iteration golden-section
     minimization of det(S(w)) over w in [1e-4, 1-1e-4]."""
-    p_a = h_a @ cov_a @ h_a.T
     p_b = h_b @ cov_b @ h_b.T
+    return fuse_pairwise_proj(cov_a, h_a, p_b, w_other, n_opt_iters)
+
+
+def fuse_pairwise_proj(
+    cov_a: jnp.ndarray,
+    h_a: jnp.ndarray,
+    p_b: jnp.ndarray,
+    w_other: float,
+    n_opt_iters: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`fuse_pairwise` with the peer term already PROJECTED:
+    ``p_b = H_b P_b H_b^T``. This is the compact-protocol form — the peer
+    ships per-landmark 3x3 projected covariances instead of its full
+    (D, D) covariance (SimpleState wire-size cut; see payload.py)."""
+    p_a = h_a @ cov_a @ h_a.T
 
     if w_other >= 0:
         w = jnp.asarray(w_other, cov_a.dtype)

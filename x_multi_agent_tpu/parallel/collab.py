@@ -95,7 +95,7 @@ def fuse_with_peer(
         mvalid = mvalid & peer_valid
         core, vision, cov, n_app, _ = multi_slam.apply_matches(
             dims, core, vision, cov,
-            peer.p_arr, peer.q_arr, peer.f_arr, peer.anchor_idx, peer.cov,
+            peer.p_arr, peer.q_arr, peer.f_arr, peer.anchor_idx, peer.lm_cov,
             own_idx, other_idx, mvalid,
             ccfg.sigma_landmark, ccfg.ci_slam_w,
         )
@@ -205,7 +205,7 @@ def fuse_with_peer_desc(
         mvalid = ok[order] & peer_valid
         core, vision, cov, n_app, applied = multi_slam.apply_matches(
             dims, core, vision, cov,
-            peer.p_arr, peer.q_arr, peer.f_arr, peer.anchor_idx, peer.cov,
+            peer.p_arr, peer.q_arr, peer.f_arr, peer.anchor_idx, peer.lm_cov,
             own_idx, other_idx[order], mvalid,
             ccfg.sigma_landmark, ccfg.ci_slam_w,
         )
@@ -282,7 +282,7 @@ def collaborative_msckf_round(
                 own.trk_obs, own.trk_mask,
                 own.trk_desc_valid,  # own gate approximation
                 own.trk_desc, own.trk_desc_valid,
-                peer.p_arr, peer.q_arr, peer.cov,
+                peer.p_arr, peer.q_arr, peer.pose_cov,
                 peer.trk_obs, peer.trk_mask, peer.trk_desc,
                 peer.trk_desc_valid, peer_valid,
                 params.cfg.sigma_img, ccfg.ci_msckf_w,

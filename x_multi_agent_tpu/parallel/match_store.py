@@ -326,7 +326,7 @@ def gather_peer_tracks(store: MatchStore, rows: jnp.ndarray, matched: jnp.ndarra
     """Gather per-own-track peer data for :func:`apply_joint_msckf_ci_pairs`.
 
     rows/matched: (K, P) match-table references from HarvestedWork.
-    Returns (p_arr (K,P,M,3), q_arr (K,P,M,4), cov (K,P,D,D),
+    Returns (p_arr (K,P,M,3), q_arr (K,P,M,4), pose_cov (K,P,6M,6M),
     obs (K,P,M,2), mask (K,P,M)).
     """
     safe = jnp.maximum(rows, 0)
@@ -334,7 +334,7 @@ def gather_peer_tracks(store: MatchStore, rows: jnp.ndarray, matched: jnp.ndarra
     tidx = store.peer_idx[safe]  # (K, P)
     p_arr = store.pay.p_arr[slot]  # (K, P, M, 3)
     q_arr = store.pay.q_arr[slot]
-    cov = store.pay.cov[slot]
+    cov = store.pay.pose_cov[slot]
     obs = store.pay.trk_obs[slot, tidx]  # (K, P, M, 2)
     mask = store.pay.trk_mask[slot, tidx] & matched[..., None]
     return p_arr, q_arr, cov, obs, mask
@@ -345,7 +345,7 @@ def gather_peer_slam(store: MatchStore, work: HarvestedWork):
 
     Returns per match-table row: (own_idx (Q,), peer_feat_idx (Q,),
     p_arr (Q,M,3), q_arr (Q,M,4), f_arr (Q,N,3), anchor (Q,N),
-    cov (Q,D,D), valid (Q,))."""
+    lm_cov (Q,N,3,3), valid (Q,))."""
     slot = store.pay_slot  # (Q,)
     return (
         work.slam_own_idx,
@@ -354,6 +354,6 @@ def gather_peer_slam(store: MatchStore, work: HarvestedWork):
         store.pay.q_arr[slot],
         store.pay.f_arr[slot],
         store.pay.anchor_idx[slot],
-        store.pay.cov[slot],
+        store.pay.lm_cov[slot],
         work.slam_matched,
     )

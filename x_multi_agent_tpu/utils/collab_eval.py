@@ -34,6 +34,7 @@ class CollabGainResult(NamedTuple):
     gain: float  # 1 - ate_collab / ate_solo
     n_rounds: int
     n_matches: int  # cross-agent landmark matches applied in total
+    mean_nees_collab: float = float("nan")  # degraded agent, collab pass
 
 
 def _new_agent(params: vio_mod.VioParams, offset, sigma_dp):
@@ -64,7 +65,7 @@ def run_collab_gain(
     def drive(collaborate: bool):
         va = _new_agent(params, (0.0, 0.0, 0.0), 1e-3)
         vb = _new_agent(params, (offset, 0.0, 0.0), max(0.5, 2 * offset))
-        est_b, est_a = [], []
+        est_b, est_a, anchor_b, cov_b = [], [], [], []
         imu_i = 0
         n_rounds = 0
         n_matches = 0
@@ -92,11 +93,22 @@ def run_collab_gain(
                 n_matches += int(np.asarray(nm).sum())
             est_a.append(np.asarray(va.tail_state().p))
             est_b.append(np.asarray(vb.tail_state().p))
-        return np.array(est_a), np.array(est_b), n_rounds, n_matches
+            anchor_b.append(np.asarray(vb.anchor_state().p))
+            cov_b.append(np.asarray(vb.fs.cov[:3, :3]))
+        return (np.array(est_a), np.array(est_b), n_rounds, n_matches,
+                np.array(anchor_b), np.array(cov_b))
 
     gt = sim.cam_p
-    _, solo_b, _, _ = drive(collaborate=False)
-    collab_a, collab_b, n_rounds, n_matches = drive(collaborate=True)
+    _, solo_b, _, _, _, _ = drive(collaborate=False)
+    (collab_a, collab_b, n_rounds, n_matches, anchor_b, cov_b) = drive(
+        collaborate=True
+    )
+
+    # collaborative-path NEES of the degraded agent (3-dof position,
+    # anchor state vs gt at frame times; warmup skipped)
+    from .evaluation import nees as nees_fn
+
+    mean_nees = float(np.mean(nees_fn(anchor_b[5:], gt[5:], cov_b[5:])))
 
     ate_solo = ate_rmse(solo_b, gt)
     ate_collab = ate_rmse(collab_b, gt)
@@ -107,4 +119,5 @@ def run_collab_gain(
         gain=float(1.0 - ate_collab / ate_solo),
         n_rounds=n_rounds,
         n_matches=n_matches,
+        mean_nees_collab=mean_nees,
     )

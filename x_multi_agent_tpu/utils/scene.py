@@ -452,3 +452,122 @@ def render_wall_frames_jax(
         return img
 
     return jax.vmap(one)(jnp.asarray(p, jnp.float32), jnp.asarray(rot, jnp.float32))
+
+
+def generate_agent_dataset_6dof(
+    out_dir: str,
+    seed: int,
+    duration: float = 60.0,
+    imu_rate: float = 100.0,
+    cam_rate: float = 10.0,
+    h: int = 480,
+    w: int = 640,
+    fx_frac: float = 0.8,
+    radius: float = 1.5,
+    omega: float = 0.6,
+    imu_noise_w: float = 2e-4,
+    imu_noise_a: float = 2e-3,
+    wall_z: float = 6.0,
+    wall2_x: float = None,
+    tex: np.ndarray = None,
+    phase: float = 0.0,
+    yaw_amp: float = 0.12,
+    pitch_amp: float = 0.08,
+    roll_amp: float = 0.06,
+    z_amp: float = 0.25,
+    thermal: dict = None,
+    chunk: int = 32,
+) -> dict:
+    """6-DoF dataset generator (round-3 replay-benchmark shape): full
+    rotation + z-bobbing trajectory (:func:`orbit_traj`), optional second
+    wall (non-planar scene), optional baked thermal degradation
+    ``thermal=dict(drift_a, drift_b, noise, vignette)`` where drift_a/b
+    are per-second rates, noise is a Gaussian std (normalized units) and
+    vignette a peak corner offset — the degradation the online
+    photometric calibration (global + spatial) must undo.
+
+    Frames are rendered ON DEVICE in chunks (the numpy renderer would
+    take ~1 s/frame at VGA). Same EuRoC-style layout as
+    :func:`generate_agent_dataset`.
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    if tex is None:
+        tex = make_texture(0)
+    os.makedirs(os.path.join(out_dir, "cam"), exist_ok=True)
+
+    traj = orbit_traj(
+        duration, imu_rate, cam_rate, radius=radius, omega=omega,
+        phase=phase, yaw_amp=yaw_amp, pitch_amp=pitch_amp,
+        roll_amp=roll_amp, z_amp=z_amp, seed=seed,
+        imu_noise_w=imu_noise_w, imu_noise_a=imu_noise_a,
+    )
+    imu_t, imu_w, imu_a = traj["imu_t"], traj["imu_w"], traj["imu_a"]
+    cam_t, cam_p, cam_q = traj["cam_t"], traj["cam_p"], traj["cam_q"]
+    cam_rot = traj["cam_rot"]
+
+    with open(os.path.join(out_dir, "imu.csv"), "w") as f:
+        f.write("# t, wx, wy, wz, ax, ay, az\n")
+        for i in range(len(imu_t)):
+            f.write(
+                f"{imu_t[i]:.6f},{imu_w[i,0]:.9f},{imu_w[i,1]:.9f},"
+                f"{imu_w[i,2]:.9f},{imu_a[i,0]:.9f},{imu_a[i,1]:.9f},"
+                f"{imu_a[i,2]:.9f}\n"
+            )
+
+    fx = fx_frac * w
+    tex_j = jnp.asarray(tex.astype(np.float32))
+    n_cam = len(cam_t)
+
+    if thermal is not None:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        r2 = ((xx - w / 2) / (w / 2)) ** 2 + ((yy - h / 2) / (h / 2)) ** 2
+        vignette = thermal.get("vignette", 0.0) * r2 / 2.0
+
+    with open(os.path.join(out_dir, "cam", "data.csv"), "w") as f:
+        f.write("# t, filename\n")
+        for c0 in range(0, n_cam, chunk):
+            c1 = min(c0 + chunk, n_cam)
+            imgs = np.asarray(
+                render_wall_frames_jax(
+                    tex_j, cam_p[c0:c1], cam_rot[c0:c1], h, w, fx, fx,
+                    wall_z=wall_z, wall2_x=wall2_x,
+                )
+            )
+            for i in range(c0, c1):
+                img = imgs[i - c0]
+                if thermal is not None:
+                    t = float(cam_t[i])
+                    a = 1.0 + thermal.get("drift_a", 0.0) * t
+                    b = thermal.get("drift_b", 0.0) * t
+                    x = img / 255.0
+                    x = x * (a - b) + b + vignette
+                    x = x + thermal.get("noise", 0.0) * rng.standard_normal(
+                        (h, w)
+                    )
+                    img = np.clip(x, 0, 1) * 255.0
+                name = f"{i:06d}.pgm"
+                write_pgm(
+                    os.path.join(out_dir, "cam", name),
+                    np.clip(img, 0, 255).astype(np.uint8),
+                )
+                f.write(f"{cam_t[i]:.6f},{name}\n")
+
+    with open(os.path.join(out_dir, "gt.csv"), "w") as f:
+        f.write("# t, px, py, pz, qx, qy, qz, qw\n")
+        for i in range(n_cam):
+            f.write(
+                f"{cam_t[i]:.6f},"
+                + ",".join(f"{v:.9f}" for v in cam_p[i])
+                + ","
+                + ",".join(f"{v:.9f}" for v in cam_q[i])
+                + "\n"
+            )
+
+    return dict(
+        imu_t=imu_t, imu_w=imu_w, imu_a=imu_a,
+        cam_t=cam_t, cam_p=cam_p, cam_q=cam_q,
+        p0=traj["p0"], v0=traj["v0"], q0=traj["q0"],
+        fx=fx, fy=fx, h=h, w=w,
+    )

@@ -65,7 +65,7 @@ def apply_joint_msckf_ci_pairs(
     own_inlier: jnp.ndarray,  # (K,) own-track gate
     peer_p_arr: jnp.ndarray,  # (K, P, M, 3) per-track peer camera windows
     peer_q_arr: jnp.ndarray,  # (K, P, M, 4)
-    peer_cov: jnp.ndarray,  # (K, P, D, D)
+    peer_cov: jnp.ndarray,  # (K, P, 6M, 6M) peer pose-window cov blocks
     peer_obs: jnp.ndarray,  # (K, P, M, 2) matched peer track obs
     peer_mask: jnp.ndarray,  # (K, P, M)
     matched: jnp.ndarray,  # (K, P) association valid
@@ -101,7 +101,10 @@ def apply_joint_msckf_ci_pairs(
         pmask = peer_mask[kidx] & tmatched[:, None]
         pq = peer_q_arr[kidx]  # (P, M, 4)
         pp = peer_p_arr[kidx]  # (P, M, 3)
-        pcov = peer_cov[kidx]  # (P, D, D)
+        # compact protocol: the peer ships only its pose-window covariance
+        # block (payload.py) — the joint rows are zero outside those
+        # columns, so H_p P H_p^T only ever reads this block
+        pcov = peer_cov[kidx]  # (P, 6M, 6M)
 
         # joint triangulation: peers first, own last (anchor = own last obs)
         obs_joint = jnp.concatenate([pobs.reshape(-1, 2), oobs], axis=0)
@@ -150,7 +153,7 @@ def apply_joint_msckf_ci_pairs(
             m_own = h_own_proj @ jnp.linalg.inv(cov) @ h_own_proj.T
             m_p = jax.vmap(
                 lambda hp, pc: hp @ jnp.linalg.inv(pc) @ hp.T
-            )(h_p_proj, pcov)
+            )(h_p_proj[:, :, 15 : 15 + 6 * m], pcov)
             w_all = ci_mod.optimize_weights_nway(m_own, m_p, tmatched, w_fb)
             w0 = w_all[0]
             w_peers = jnp.maximum(w_all[1:], 1e-4)
@@ -158,8 +161,9 @@ def apply_joint_msckf_ci_pairs(
             w0 = 1.0 - n_peers * ci_msckf_w
             w_peers = jnp.full((p_max,), ci_msckf_w, dtype)
         s = (1.0 / w0) * h_own_proj @ cov @ h_own_proj.T
+        hp_pose = h_p_proj[:, :, 15 : 15 + 6 * m]  # (P, rows, 6M)
         for i in range(p_max):
-            s_i = h_p_proj[i] @ pcov[i] @ h_p_proj[i].T
+            s_i = hp_pose[i] @ pcov[i] @ hp_pose[i].T
             s = s + jnp.where(tmatched[i], (1.0 / w_peers[i]), 0.0) * s_i
         s = s + var_img * jnp.eye(rows, dtype=dtype)
 
@@ -215,7 +219,7 @@ def apply_joint_msckf_ci(
     own_desc_valid: jnp.ndarray,  # (K,)
     peer_p_arr: jnp.ndarray,  # (P, M, 3)
     peer_q_arr: jnp.ndarray,  # (P, M, 4)
-    peer_cov: jnp.ndarray,  # (P, D, D)
+    peer_cov: jnp.ndarray,  # (P, 6M, 6M) peer pose-window cov blocks
     peer_trk_obs: jnp.ndarray,  # (P, Kt, M, 2)
     peer_trk_mask: jnp.ndarray,  # (P, Kt, M)
     peer_trk_desc: jnp.ndarray,  # (P, Kt, 32)

@@ -63,7 +63,7 @@ def apply_matches_pairs(
     other_q_arr: jnp.ndarray,  # (K, M, 4)
     other_f_arr: jnp.ndarray,  # (K, N, 3)
     other_anchor: jnp.ndarray,  # (K, N)
-    other_cov: jnp.ndarray,  # (K, D, D)
+    other_lm_cov: jnp.ndarray,  # (K, N, N, 3, 3) joint peer landmark covs
     own_fid: jnp.ndarray,  # (K,) matched own feature slots
     other_fid: jnp.ndarray,  # (K,) matched peer feature slots
     match_valid: jnp.ndarray,  # (K,)
@@ -72,9 +72,12 @@ def apply_matches_pairs(
 ):
     """Sequentially apply K (masked) SLAM-SLAM CI updates where each
     match may reference a DIFFERENT peer snapshot (persistent match-store
-    consumption, reference ``slam_matches_``).
+    consumption, reference ``slam_matches_``). The peer side arrives
+    pre-projected per landmark (compact wire protocol, payload.py) — the
+    reference computes H' P' H'^T receiver-side from the full SimpleState
+    covariance (multi_slam_update.cpp:134-245); the product is identical.
 
-    Returns (core, vision, cov, n_applied).
+    Returns (core, vision, cov, n_applied, applied_mask).
     """
     m = dims.n_poses
     d = dims.d
@@ -89,7 +92,7 @@ def apply_matches_pairs(
 
         o_p_arr = other_p_arr[i]
         o_q_arr = other_q_arr[i]
-        o_cov = other_cov[i]
+        lam = other_lm_cov[i, ofid, ofid]  # (3, 3) peer landmark covariance
         f = vision.f_arr[fid]
         a_idx = jnp.maximum(vision.anchor_idx[fid], 0)
         of = other_f_arr[i, ofid]
@@ -107,11 +110,9 @@ def apply_matches_pairs(
 
         j_pos, j_att, hf = _landmark_jac_blocks(f, vision.q_arr[a_idx], dtype)
         h = _scatter_rows(d, m, a_idx, fid, j_pos, j_att, hf, dtype)
-        oj_pos, oj_att, ohf = _landmark_jac_blocks(of, o_q_arr[oa_idx], dtype)
-        oh = _scatter_rows(d, m, oa_idx, ofid, -oj_pos, -oj_att, -ohf, dtype)
 
         # chi2(3, 0.90) gate on the joint innovation
-        s_gate = h @ cov @ h.T + oh @ o_cov @ oh.T + var_lm * jnp.eye(3, dtype=dtype)
+        s_gate = h @ cov @ h.T + lam + var_lm * jnp.eye(3, dtype=dtype)
         gamma = res @ linalg.solve3(s_gate, res)
         ok = (
             match_valid[i]
@@ -121,7 +122,7 @@ def apply_matches_pairs(
 
         def do(args):
             core, vision, cov = args
-            s, w_result = ci_mod.fuse_pairwise(cov, h, o_cov, oh, ci_slam_w)
+            s, w_result = ci_mod.fuse_pairwise_proj(cov, h, lam, ci_slam_w)
             s = s + var_lm * jnp.eye(3, dtype=dtype)
             # Inflate the own anchor + feature blocks (multi_slam_update.cpp:
             # 224-237). Unlike the reference (diagonal blocks only), scale
@@ -162,23 +163,114 @@ def apply_matches(
     other_q_arr: jnp.ndarray,
     other_f_arr: jnp.ndarray,
     other_anchor: jnp.ndarray,
-    other_cov: jnp.ndarray,
+    other_lm_cov: jnp.ndarray,  # (N, N, 3, 3)
     own_fid: jnp.ndarray,  # (K,)
     other_fid: jnp.ndarray,  # (K,)
     match_valid: jnp.ndarray,  # (K,)
     sigma_landmark: float,
     ci_slam_w: float,
 ):
-    """Sequentially apply K (masked) SLAM-SLAM CI updates against one
-    shared peer snapshot (same-round fusion path).
+    """Apply one round's K SLAM-SLAM matches against one shared peer
+    snapshot as a SINGLE JOINT 3K-row CI update.
 
-    Returns (core, vision, cov, n_applied).
+    Deliberate deviation from the reference, which applies one
+    ``applyCI`` per match sequentially (``updater.cpp:144-161``): the K
+    matches of a round are strongly correlated — the peer's landmark
+    estimates share its pose errors, and so do the receiver's — and
+    sequential fusion counts that common mode K times, collapsing the
+    position sigma ~sqrt(K) below the true error (measured: one 8-match
+    round took sigma 0.80 -> 0.047 m while 0.12 m of error remained).
+    The joint form carries the full cross-match covariance on BOTH sides
+    (own: H P H^T with cross terms; peer: the shipped joint landmark
+    covariance blocks), so one round = one consistent CI fusion.
+
+    Returns (core, vision, cov, n_applied, applied_mask).
     """
+    m = dims.n_poses
+    d = dims.d
+    dtype = cov.dtype
+    var_lm = sigma_landmark * sigma_landmark
     k = own_fid.shape[0]
-    brd = lambda x: jnp.broadcast_to(x[None], (k,) + x.shape)
-    return apply_matches_pairs(
-        dims, core, vision, cov,
-        brd(other_p_arr), brd(other_q_arr), brd(other_f_arr),
-        brd(other_anchor), brd(other_cov),
-        own_fid, other_fid, match_valid, sigma_landmark, ci_slam_w,
+
+    def one_match(fid, ofid):
+        f = vision.f_arr[fid]
+        a_idx = jnp.maximum(vision.anchor_idx[fid], 0)
+        of = other_f_arr[ofid]
+        oa_idx = jnp.maximum(other_anchor[ofid], 0)
+        rho_s = jnp.where(jnp.abs(f[2]) > 1e-12, f[2], 1.0)
+        orho_s = jnp.where(jnp.abs(of[2]) > 1e-12, of[2], 1.0)
+        bear = jnp.stack([f[0], f[1], jnp.ones((), dtype)])
+        obear = jnp.stack([of[0], of[1], jnp.ones((), dtype)])
+        g_p_f = (
+            lie.quat_to_rot(vision.q_arr[a_idx]) @ bear / rho_s
+            + vision.p_arr[a_idx]
+        )
+        og_p_f = (
+            lie.quat_to_rot(other_q_arr[oa_idx]) @ obear / orho_s
+            + other_p_arr[oa_idx]
+        )
+        res = og_p_f - g_p_f
+        j_pos, j_att, hf = _landmark_jac_blocks(f, vision.q_arr[a_idx], dtype)
+        h = _scatter_rows(d, m, a_idx, fid, j_pos, j_att, hf, dtype)
+        return res, h
+
+    res_k, h_k = jax.vmap(one_match)(own_fid, other_fid)  # (K,3), (K,3,D)
+    h = h_k.reshape(3 * k, d)
+    res = res_k.reshape(3 * k)
+
+    s_own = h @ cov @ h.T  # (3K, 3K) incl. cross-match terms
+    lam = other_lm_cov[other_fid[:, None], other_fid[None, :]]  # (K,K,3,3)
+    lam = lam.transpose(0, 2, 1, 3).reshape(3 * k, 3 * k)
+    w = jnp.asarray(ci_slam_w, dtype)
+    s_full = s_own / (1.0 - w) + lam / w + var_lm * jnp.eye(3 * k, dtype=dtype)
+
+    # per-match chi2(3, 0.90) gate on the match's own 3x3 innovation block
+    def gate(i):
+        s3 = jax.lax.dynamic_slice(s_full, (3 * i, 3 * i), (3, 3))
+        r3 = jax.lax.dynamic_slice(res, (3 * i,), (3,))
+        gamma = r3 @ linalg.solve3(s3, r3)
+        return (
+            match_valid[i]
+            & chi2_gate(gamma, jnp.asarray(3), 0.90, 4)
+            & jnp.isfinite(r3).all()
+        )
+
+    keep = jax.vmap(gate)(jnp.arange(k))  # (K,)
+    keep3 = jnp.repeat(keep, 3)
+    h = jnp.where(keep3[:, None], h, 0.0)
+    res = jnp.where(keep3, res, 0.0)
+    # dropped rows: identity diagonal keeps S invertible, zero rows of H
+    # and res make them exact no-ops
+    s_full = jnp.where(
+        keep3[:, None] & keep3[None, :], s_full, 0.0
+    ) + jnp.diag(jnp.where(keep3, 0.0, 1.0))
+
+    n_app = jnp.sum(keep).astype(jnp.int32)
+
+    def do(args):
+        core, vision, cov = args
+        w_result = 1.0 / (1.0 - w)
+        # congruence-scale the involved own blocks (see apply_matches_pairs)
+        scale = jnp.ones((d,), dtype)
+        sq = jnp.sqrt(jnp.asarray(w_result, dtype))
+
+        def add_scale(scale, i):
+            fid = own_fid[i]
+            a_idx = jnp.maximum(vision.anchor_idx[fid], 0)
+            cols = (15 + 3 * a_idx, 15 + 3 * m + 3 * a_idx, 15 + 6 * m + 3 * fid)
+            for col in cols:
+                upd = jnp.where(keep[i], jnp.full((3,), sq, dtype), jax.lax.dynamic_slice(scale, (col,), (3,)))
+                scale = jax.lax.dynamic_update_slice(scale, upd, (col,))
+            return scale, None
+
+        scale, _ = jax.lax.scan(add_scale, scale, jnp.arange(k))
+        ci_p = cov * scale[:, None] * scale[None, :]
+        corr, cov1 = ci_mod.apply_ci(cov, ci_p, h, res, s_full)
+        core1 = correct_core(core, corr)
+        vision1 = correct_vision(vision, corr, dims)
+        return core1, vision1, cov1
+
+    core, vision, cov = jax.lax.cond(
+        n_app > 0, do, lambda a: a, (core, vision, cov)
     )
+    return core, vision, cov, n_app, keep

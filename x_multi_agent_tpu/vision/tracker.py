@@ -41,7 +41,9 @@ class TrackerParams(NamedTuple):
     lk_max_level: int = 2
     min_eig_thr: float = 1e-4
     ransac_threshold_px: float = 0.3  # outlier_param1
-    ransac_hypotheses: int = 200
+    # post-LK inlier rates are >0.9; 96 size-8 samples miss an all-inlier
+    # draw with probability (1-0.9^8)^96 ~ 5e-24 — 200 was pure waste
+    ransac_hypotheses: int = 96
     # MULTI_UAV: compute binary descriptors at tracked points each frame
     # (reference computes ORB during detection, tracker.cpp:440-478)
     compute_descriptors: bool = False
