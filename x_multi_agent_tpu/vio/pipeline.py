@@ -293,16 +293,37 @@ def visual_update(
     ms_init = None
     ms_info = None
     facet_ids = facet_found = None
+    new_mask_ms = frame.new_mask & frame.new_is_msckf[:, None]
     for it in range(cfg.iekf_iter):
-        msckf_rows, ms_info = msckf.build(
-            frame.msckf_obs, frame.msckf_mask, vision.q_arr, vision.p_arr,
-            cov, cfg.sigma_img, n, oc=cfg.obs_constrained,
-        )
-        new_mask_ms = frame.new_mask & frame.new_is_msckf[:, None]
-        mslam_rows, ms_init = msckf_slam.build(
-            frame.new_obs, new_mask_ms, vision.q_arr, vision.p_arr, cov,
-            cfg.sigma_img, n,
-        )
+        # IEKF iterations > 0 keep the it-0 measurement model FROZEN
+        # (triangulated point, nullspace projector, Jacobians, gates) and
+        # re-evaluate ONLY the residuals against the corrected window —
+        # textbook iterated-EKF residual relinearization. Re-deriving the
+        # model per iteration lets the re-triangulated feature absorb each
+        # correction and rotates the retained measurement subspace against
+        # the fixed prior (measured: iekf_iter=3 diverged 5x / drifted in
+        # the linear-regime oracle before the freeze; test_iekf.py).
+        if it == 0:
+            msckf_rows, ms_info = msckf.build(
+                frame.msckf_obs, frame.msckf_mask, vision.q_arr,
+                vision.p_arr, cov, cfg.sigma_img, n,
+                oc=cfg.obs_constrained,
+            )
+            mslam_rows, ms_init = msckf_slam.build(
+                frame.new_obs, new_mask_ms, vision.q_arr, vision.p_arr,
+                cov, cfg.sigma_img, n,
+            )
+        else:
+            msckf_rows, _ = msckf.build(
+                frame.msckf_obs, frame.msckf_mask, vision.q_arr,
+                vision.p_arr, cov, cfg.sigma_img, n,
+                oc=cfg.obs_constrained, fixed_world=ms_info.world,
+            )
+            mslam_rows, ms_init = msckf_slam.build(
+                frame.new_obs, new_mask_ms, vision.q_arr, vision.p_arr,
+                cov, cfg.sigma_img, n,
+                fixed_tri=(ms_init.features, ms_init.anchor),
+            )
         slam_rows = slam.build(
             vision.f_arr, vision.anchor_idx, vision.q_arr, vision.p_arr,
             slam_z, slam_has_obs, jnp.minimum(slam_len, m), cov,
@@ -344,6 +365,7 @@ def visual_update(
         core = correct_core(core, corr)
         vision = correct_vision(vision, corr, dims)
         correction_total = correction_total + corr
+        correction_last = corr  # increment since the LAST build
 
     # ---------------- 4b. joint-MSCKF CI on stored matches -----------------
     if store is not None:
@@ -376,7 +398,14 @@ def visual_update(
     vision, cov = sm.init_new_features(
         dims, vision, cov, frame.new_is_msckf,
         ms_init.h1, ms_init.h2, ms_init.r1, ms_init.features,
-        std_z, accepted, correction_total,
+        # MSCKF-SLAM init (Li 2012): f = f_hat + H2^-1 (r1 - H1 dx) where
+        # (h1, h2, r1) come from the LAST IEKF iteration's build, i.e. the
+        # linearization at x_{n-1} — so dx is the LAST increment only.
+        # Passing the accumulated total double-counts earlier iterations'
+        # corrections into every initialized landmark (this made
+        # iekf_iter=3 drift 5x worse than iekf_iter=1 before the fix;
+        # identical for iekf_iter=1 where last == total).
+        std_z, accepted, correction_last,
         cfg.sigma_img, cfg.rho_0, cfg.sigma_rho_0,
     )
     slots = tm.insert_new_slam_tracks(slots, frame, accepted, n_feat_before)

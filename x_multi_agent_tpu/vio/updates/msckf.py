@@ -92,20 +92,34 @@ def build(
     max_iter: int = 10,
     term: float = 1e-5,
     oc: bool = True,
+    fixed_world=None,
 ):
-    """Returns (UpdateRows with K*(2M-3) rows, MsckfTrackInfo)."""
+    """Returns (UpdateRows with K*(2M-3) rows, MsckfTrackInfo).
+
+    ``fixed_world`` (K, 3): reuse these triangulated world points instead
+    of re-triangulating — REQUIRED for IEKF iterations > 0. Re-running the
+    GN triangulation against the corrected state lets the feature point
+    absorb each correction, so the accumulated-correction residual form
+    K(res + H corr_tot) - corr_tot (updater.cpp:117-141) is applied
+    against a moving measurement model and diverges; a frozen world point
+    makes z = h(poses; f) a fixed function across iterations."""
     k, m, _ = obs.shape
     dtype = cov.dtype
     d = cov.shape[0]
     g_vec = jnp.asarray(GRAVITY, dtype)
 
-    def one_track(obs_k, mask_k):
+    def one_track(obs_k, mask_k, w_k):
         n_obs = jnp.sum(mask_k)
         enough = n_obs >= 2
-        ivd, anchor = triangulation.triangulate_gn(
-            obs_k, mask_k, q_arr, p_arr, max_iter=max_iter, term=term
-        )
-        g_p_f = triangulation.ivd_to_world(ivd, q_arr[anchor], p_arr[anchor])
+        if fixed_world is None:
+            ivd, anchor = triangulation.triangulate_gn(
+                obs_k, mask_k, q_arr, p_arr, max_iter=max_iter, term=term
+            )
+            g_p_f = triangulation.ivd_to_world(ivd, q_arr[anchor], p_arr[anchor])
+        else:
+            ivd = jnp.zeros((3,), dtype)
+            anchor = jnp.asarray(0, jnp.int32)
+            g_p_f = w_k
         res, j_pos, j_att, hf, finite = _obs_jacobians(
             g_p_f, obs_k, mask_k, q_arr, p_arr, g_vec, oc=oc
         )
@@ -127,7 +141,10 @@ def build(
         res0 = jnp.where(keep, res0, 0.0)
         return h0, res0, ivd, anchor, g_p_f, inlier & valid, valid
 
-    h0, res0, ivd, anchor, world, inlier, valid = jax.vmap(one_track)(obs, mask)
+    w_in = jnp.zeros((k, 3), dtype) if fixed_world is None else fixed_world
+    h0, res0, ivd, anchor, world, inlier, valid = jax.vmap(one_track)(
+        obs, mask, w_in
+    )
 
     rows = k * (2 * m - 3)
     update = UpdateRows(
@@ -135,5 +152,7 @@ def build(
         res=res0.reshape(rows),
         noise_std=jnp.full((rows,), sigma_img, dtype),
     )
-    info = MsckfTrackInfo(ivd=ivd, anchor=anchor, world=world, inlier=inlier, valid=valid)
+    info = MsckfTrackInfo(
+        ivd=ivd, anchor=anchor, world=world, inlier=inlier, valid=valid
+    )
     return update, info

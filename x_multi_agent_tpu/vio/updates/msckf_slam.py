@@ -31,6 +31,7 @@ class MsckfSlamInit(NamedTuple):
     features: jnp.ndarray  # (K, 3) triangulated inverse depth (anchor = cur pose)
     inlier: jnp.ndarray  # (K,) bool
     world: jnp.ndarray  # (K, 3)
+    anchor: jnp.ndarray  # (K,) int32 anchor window index
 
 
 def build(
@@ -43,17 +44,27 @@ def build(
     n_features: int,
     max_iter: int = 10,
     term: float = 1e-5,
+    fixed_tri=None,
 ):
+    """``fixed_tri`` = (ivd (K,3), anchor (K,)): reuse a previous call's
+    triangulation instead of re-triangulating — required for IEKF
+    iterations > 0 (see msckf.build). The relative (anchor-referenced)
+    parametrization keeps its anchor-pose Jacobians, so only the (ivd,
+    anchor) pair is frozen; the world point tracks the corrected anchor
+    pose consistently."""
     k, m, _ = obs.shape
     dtype = cov.dtype
     d = cov.shape[0]
 
-    def one_track(obs_k, mask_k):
+    def one_track(obs_k, mask_k, ivd_f, anchor_f):
         n_obs = jnp.sum(mask_k)
         enough = n_obs >= 2
-        ivd, anchor = triangulation.triangulate_gn(
-            obs_k, mask_k, q_arr, p_arr, max_iter=max_iter, term=term
-        )
+        if fixed_tri is None:
+            ivd, anchor = triangulation.triangulate_gn(
+                obs_k, mask_k, q_arr, p_arr, max_iter=max_iter, term=term
+            )
+        else:
+            ivd, anchor = ivd_f, anchor_f
         alpha, beta, rho = ivd[0], ivd[1], ivd[2]
         safe_rho = jnp.where(jnp.abs(rho) > 1e-12, rho, 1.0)
         q_a = q_arr[anchor]
@@ -127,9 +138,15 @@ def build(
 
         h0 = jnp.where(inlier, h0, 0.0)
         res0 = jnp.where(inlier, res0, 0.0)
-        return h0, res0, h1, h2, r1, ivd, g_p_f, inlier
+        return h0, res0, h1, h2, r1, ivd, g_p_f, inlier, anchor
 
-    h0, res0, h1, h2, r1, ivd, world, inlier = jax.vmap(one_track)(obs, mask)
+    if fixed_tri is None:
+        tri_in = (jnp.zeros((k, 3), dtype), jnp.zeros((k,), jnp.int32))
+    else:
+        tri_in = fixed_tri
+    h0, res0, h1, h2, r1, ivd, world, inlier, anchor = jax.vmap(one_track)(
+        obs, mask, *tri_in
+    )
 
     rows = k * (2 * m - 3)
     update = UpdateRows(
@@ -137,5 +154,8 @@ def build(
         res=res0.reshape(rows),
         noise_std=jnp.full((rows,), sigma_img, dtype),
     )
-    init = MsckfSlamInit(h1=h1, h2=h2, r1=r1, features=ivd, inlier=inlier, world=world)
+    init = MsckfSlamInit(
+        h1=h1, h2=h2, r1=r1, features=ivd, inlier=inlier, world=world,
+        anchor=anchor,
+    )
     return update, init
