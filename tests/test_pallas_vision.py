@@ -84,13 +84,17 @@ def test_pallas_lk_full_pyramid_recovers_shift(rng):
     valid = jnp.ones((k,), bool)
 
     import x_multi_agent_tpu.vision.pallas_lk as plk
+    import x_multi_agent_tpu.vision.pallas_lk2 as plk2
 
     orig = plk.track_level
+    orig2 = plk2.track_level
     plk.track_level = lambda *a, **kw: orig(*a, **kw, interpret=True)
+    plk2.track_level = lambda *a, **kw: orig2(*a, **kw, interpret=True)
     try:
         pts_cur, ok = lk.track(pyr_prev, pyr_cur, pts, valid, use_pallas=True)
     finally:
         plk.track_level = orig
+        plk2.track_level = orig2
     flow = np.asarray(pts_cur - pts)[np.asarray(ok)]
     assert flow.shape[0] >= k // 2
     # ndi.shift moves content BY (dy, dx): prev (x,y) appears at (x+dx, y+dy)
@@ -100,3 +104,28 @@ def test_pallas_lk_full_pyramid_recovers_shift(rng):
     # behavior); require the bulk of features to land
     good = (np.abs(flow - true_flow) < 0.2).all(axis=1)
     assert good.mean() > 0.8
+
+
+def test_pallas_lk2_matches_level_oracle(rng):
+    """Lane-packed LK kernel (pallas_lk2) vs the jnp level oracle."""
+    h, w = 96, 160
+    img0 = np.asarray(
+        ndi.gaussian_filter(rng.normal(size=(h, w)).astype(np.float32), 2.0)
+    )
+    img1 = np.asarray(ndi.shift(img0, (0.7, -1.3), order=3))
+    img0 = jnp.asarray(img0)
+    img1 = jnp.asarray(img1)
+    k = 21  # not a multiple of the kernel's feature block
+    pts = jnp.asarray(
+        rng.uniform([20, 20], [w - 20, h - 20], size=(k, 2)).astype(np.float32)
+    )
+    guess = jnp.zeros((k, 2), jnp.float32)
+    dx, dy = scharr_gradients(img0)
+    f_ref, ok_ref = lk._track_level(img0, img1, dx, dy, pts, guess, 10, 10, 1e-4)
+    from x_multi_agent_tpu.vision import pallas_lk2
+
+    f_pl, ok_pl = pallas_lk2.track_level(
+        img0, img1, dx, dy, pts, guess, 10, 10, 1e-4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(f_pl), np.asarray(f_ref), atol=1e-4)
+    assert bool((np.asarray(ok_pl) == np.asarray(ok_ref)).all())

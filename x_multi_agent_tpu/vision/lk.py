@@ -131,9 +131,19 @@ def track(
     min-eigenvalue gate are flagged.
     """
     if use_pallas:
-        from . import pallas_lk
+        import os
 
-        level_fn = pallas_lk.track_level
+        if 2 * half_win + 4 <= 32 and os.environ.get(
+            "XMAT_LK_KERNEL", "v2"
+        ) != "v1":
+            # lane-packed kernel: 8 features per 256-lane row (pallas_lk2)
+            from . import pallas_lk2
+
+            level_fn = pallas_lk2.track_level
+        else:
+            from . import pallas_lk
+
+            level_fn = pallas_lk.track_level
     else:
         level_fn = _track_level
 
