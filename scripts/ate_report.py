@@ -163,23 +163,29 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
                 nees[a].append(float(e @ np.linalg.solve(cov_p, e)))
             except np.linalg.LinAlgError:
                 nees[a].append(np.nan)
-        if exchange and f % 3 == 2 and f > 10:
+        if exchange and f > 10:
             from x_multi_agent_tpu.parallel import collab as collab_mod
 
             pb = collab_mod.payload_nbytes(agents[0].get_data_to_send())
             vb = collab_mod.vlad_nbytes(agents[0]._words)
-            for req in range(len(agents)):
-                for res in range(len(agents)):
-                    if req == res:
-                        continue
-                    vlad = agents[req].get_descriptors()
-                    bytes_rr += vb
-                    payload, found = agents[res].process_other_requests(req, vlad)
-                    bytes_full += pb
-                    if found:
-                        bytes_rr += pb
-                        n_hits += 1
-                        agents[req].process_other_measurements(payload, uav_id=res)
+            n_pairs = len(agents) * (len(agents) - 1)
+            # baseline: the reference's full-exchange mode ships the
+            # SimpleState payload to every peer at EVERY visual update
+            # (getDataToSend, vio.cpp:440-451) — that is what the paper's
+            # up-to-89% reduction is measured against (README.md:98-99)
+            bytes_full += pb * n_pairs
+            if f % 3 == 2:
+                for req in range(len(agents)):
+                    for res in range(len(agents)):
+                        if req == res:
+                            continue
+                        vlad = agents[req].get_descriptors()
+                        bytes_rr += vb
+                        payload, found = agents[res].process_other_requests(req, vlad)
+                        if found:
+                            bytes_rr += pb
+                            n_hits += 1
+                            agents[req].process_other_measurements(payload, uav_id=res)
         if f % log_every == log_every - 1:
             print(
                 f"frame {f+1}/{n_frames} "

@@ -81,6 +81,11 @@ def test_request_comm_closed_loop(rng):
             )
             v.process_matches_measurement(sim.cam_t[f], f, matches)
 
+        # full-exchange baseline: the reference's broadcast mode ships the
+        # SimpleState payload to every peer at EVERY visual update
+        # (getDataToSend, vio.cpp:440-451) — the paper's 89% reduction is
+        # measured against that (README.md:98-99)
+        bytes_full += 2 * payload_b
         # exchange round every 3 frames (requester broadcasts VLAD; the
         # responder ships the heavy keyframe only on a hit)
         if f % 3 == 2:
@@ -89,7 +94,6 @@ def test_request_comm_closed_loop(rng):
                 vlad = agents[req].get_descriptors()
                 bytes_rr += vlad_b
                 payload, found = agents[res].process_other_requests(req, vlad)
-                bytes_full += payload_b  # broadcast mode always ships
                 if found:
                     bytes_rr += payload_b
                     n_hits += 1
@@ -104,8 +108,9 @@ def test_request_comm_closed_loop(rng):
 
     reduction = 1.0 - bytes_rr / bytes_full
     # served-once semantics: after a keyframe is shipped, later rounds cost
-    # only the VLAD -> large bandwidth saving (README.md:98-99 claims 89%)
-    assert reduction > 0.6, (reduction, bytes_rr, bytes_full, n_hits)
+    # only the VLAD -> the saving must reach the reference's claimed
+    # regime (README.md:98-99: up to 89%)
+    assert reduction > 0.85, (reduction, bytes_rr, bytes_full, n_hits)
 
     # the degraded agent must end closer to truth than it started
     true_p = sims[1].cam_p[-1]
