@@ -233,11 +233,14 @@ def main():
         ).words
     )
     ccfg = collab_mod.CollabConfig(
-        sigma_landmark=0.1, ci_slam_w=0.05, match_budget=8,
+        sigma_landmark=0.1, ci_slam_w=-0.05, match_budget=8,
         desc_ratio_thr=0.7, desc_abs_thr=35.0, pr_score_thr=0.15,
         pr_ransac_thr=0.005, geom_consistency_tol=0.3,
-        # consistency guard: no SLAM landmark re-fuses against the same
-        # peer within 3 receives (collab NEES was 6.4 on 3 dof in r2)
+        # consistency guards: no SLAM landmark re-fuses against the same
+        # peer within 3 receives (collab NEES was 6.4 on 3 dof in r2);
+        # negative ci_slam_w = downhill-only information flow (fuse only
+        # from more-confident peers — keeps helpers from drifting toward
+        # the degraded agent's frame over long runs)
         refuse_cooldown=3,
     )
 

@@ -215,10 +215,17 @@ timeit2(
     "sm.manage",
     lambda fr: jnp.sum(
         jax.vmap(
-            lambda c_, v_, cv_, f_: sm.manage(
-                dims, c_, v_, cv_, f_.lost_slam,
-                jnp.asarray(cfg.q_ic, dtype), jnp.asarray(cfg.p_ic, dtype),
-            )[2][:, 0]
+            lambda c_, v_, cv_, f_: sum(
+                jnp.sum(x)
+                for x in jax.tree.leaves(
+                    sm.manage(
+                        dims, c_, v_, cv_, f_.lost_slam,
+                        jnp.asarray(cfg.q_ic, dtype),
+                        jnp.asarray(cfg.p_ic, dtype),
+                    )
+                )
+                if jnp.issubdtype(x.dtype, jnp.floating)
+            )
         )(core, vision, cov, fr)
     ),
     fx2,

@@ -29,3 +29,15 @@ def test_collaborative_nees_consistency():
     res = run_collab_gain(PARAMS, CCFG)
     assert res.gain > 0.46, res
     assert 0.2 < res.mean_nees_collab < 5.0, res
+
+
+@pytest.mark.slow
+def test_collaborative_gain_adaptive_weights():
+    """Negative ci_slam_w = on-line det-minimizing weight (reference NLopt
+    convention): must keep the gain and helper accuracy AND stay
+    chi2-consistent. The adaptive weight is what prevents a fleet from
+    drifting into consensus with its worst member on long runs."""
+    res = run_collab_gain(PARAMS, CCFG._replace(ci_slam_w=-0.05))
+    assert res.gain > 0.46, res
+    assert res.ate_helper < 0.1, res
+    assert 0.2 < res.mean_nees_collab < 5.0, res

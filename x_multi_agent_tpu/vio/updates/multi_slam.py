@@ -221,7 +221,26 @@ def apply_matches(
     s_own = h @ cov @ h.T  # (3K, 3K) incl. cross-match terms
     lam = other_lm_cov[other_fid[:, None], other_fid[None, :]]  # (K,K,3,3)
     lam = lam.transpose(0, 2, 1, 3).reshape(3 * k, 3 * k)
-    w = jnp.asarray(ci_slam_w, dtype)
+    if ci_slam_w >= 0:
+        w = jnp.asarray(ci_slam_w, dtype)
+    else:
+        # negative ci_slam_w = downhill-only information flow with base
+        # weight |w| (the on-line-weighting role of the reference's NLopt
+        # path, ci.cpp:66-76, realized as a gate): fuse a match ONLY when
+        # the peer's landmark estimate is more confident than our own
+        # (trace of the peer's 3x3 landmark covariance below the trace of
+        # our projected block). A degraded agent receiving from a
+        # confident peer fuses everything; a well-localized agent
+        # receiving the degraded agent's map fuses nothing — without
+        # this, symmetric fixed-weight fusion lets long-running fleets
+        # drift into consensus with their worst member (observed in the
+        # 4-agent thermal replay: helper ATE 0.08 -> 1.2 m).
+        w = jnp.asarray(-ci_slam_w, dtype)
+        d3 = jnp.arange(3)
+        blk = 3 * jnp.arange(k)[:, None] + d3[None, :]
+        own_tr = jnp.sum(jnp.diagonal(s_own)[blk], axis=1)  # (K,)
+        peer_tr = jnp.sum(jnp.diagonal(lam)[blk], axis=1)
+        match_valid = match_valid & (peer_tr < own_tr)
     s_full = s_own / (1.0 - w) + lam / w + var_lm * jnp.eye(3 * k, dtype=dtype)
 
     # per-match chi2(3, 0.90) gate on the match's own 3x3 innovation block
