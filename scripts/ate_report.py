@@ -141,13 +141,17 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
     bytes_full = 0
     n_hits = 0
     t0 = time.perf_counter()
+    # fixed-stride IMU windows: every frame consumes EXACTLY imu_rate /
+    # cam_rate samples, so the whole replay runs one compiled batch shape.
+    # Variable-length slicing retraced process_imu_batch mid-run and the
+    # fresh compile segfaulted jaxlib after ~450 frames of accumulated
+    # executables (known quirk; see tests/conftest.py).
+    n_per = int(round((len(data[0].imu_t) - 1) / n_frames))
     for f in range(n_frames):
         for a, (v, d, m) in enumerate(zip(agents, data, metas)):
             t_cam = float(d.cam_t[f])
-            i = imu_is[a]
-            j = i
-            while j < len(d.imu_t) and d.imu_t[j] <= t_cam + 1e-9:
-                j += 1
+            i = f * n_per + 1
+            j = min(i + n_per, len(d.imu_t))
             if j > i:
                 v.process_imu_batch(
                     d.imu_t[i:j], np.arange(i, j), d.imu_w[i:j], d.imu_a[i:j]
