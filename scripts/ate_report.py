@@ -125,6 +125,24 @@ def build_agent(meta, degraded: bool, words, ccfg, uav_id: int, collab: bool):
     return v
 
 
+def _aligned_ate(est: np.ndarray, gt: np.ndarray) -> float:
+    """SE(3)-aligned ATE RMSE (Umeyama, no scale) — the standard VIO
+    trajectory metric: global position/yaw are gauge-unobservable, so the
+    raw error is dominated by frame drift on long runs. The reference's
+    datasets are evaluated the same way (trajectory alignment before
+    ATE)."""
+    mu_e = est.mean(axis=0)
+    mu_g = gt.mean(axis=0)
+    ec = est - mu_e
+    gc = gt - mu_g
+    h = ec.T @ gc
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    aligned = (r @ ec.T).T + mu_g
+    return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=1))))
+
+
 def replay(agents, metas, exchange: bool, log_every: int = 10):
     """Interleaved frame-by-frame replay with periodic exchange rounds."""
     from x_multi_agent_tpu.utils import dataio
@@ -137,6 +155,8 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
     imu_is = [0] * len(agents)
     errs = [[] for _ in agents]
     nees = [[] for _ in agents]
+    est_tr = [[] for _ in agents]
+    gt_tr = [[] for _ in agents]
     bytes_rr = 0
     bytes_full = 0
     n_hits = 0
@@ -161,6 +181,8 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
             p_est = np.asarray(v.tail_state().p)
             p_gt = m["cam_p"][f]
             errs[a].append(np.linalg.norm(p_est - p_gt))
+            est_tr[a].append(p_est)
+            gt_tr[a].append(p_gt)
             cov_p = np.asarray(v.fs.cov[:3, :3])
             e = np.asarray(v.anchor_state().p) - p_gt
             try:
@@ -199,6 +221,10 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
             )
     out = dict(
         ate=[float(np.sqrt(np.mean(np.square(e)))) for e in errs],
+        ate_aligned=[
+            _aligned_ate(np.asarray(e), np.asarray(g))
+            for e, g in zip(est_tr, gt_tr)
+        ],
         final_err=[float(e[-1]) for e in errs],
         mean_nees=[float(np.nanmean(n)) for n in nees],
         n_hits=n_hits,
@@ -261,8 +287,8 @@ def main():
     ]
     col = replay(agents, metas, exchange=True)
 
-    ate_solo = solo["ate"][0]
-    ate_collab = col["ate"][1]
+    ate_solo = solo["ate_aligned"][0]
+    ate_collab = col["ate_aligned"][1]
     gain = 1.0 - ate_collab / ate_solo
     reduction = (
         1.0 - col["bytes_rr"] / col["bytes_full"] if col["bytes_full"] else 0.0
@@ -283,13 +309,16 @@ def main():
         degraded_agent=dict(
             ate_solo_m=round(ate_solo, 4),
             ate_collab_m=round(ate_collab, 4),
+            ate_solo_raw_m=round(solo["ate"][0], 4),
+            ate_collab_raw_m=round(col["ate"][1], 4),
             collab_gain_pct=round(100 * gain, 1),
             mean_nees_solo=round(solo["mean_nees"][0], 2),
             mean_nees_collab=round(nees_collab, 2),
             nees_consistent=bool(nees_ok),
         ),
         per_agent=dict(
-            ate_collab_m=[round(a, 4) for a in col["ate"]],
+            ate_collab_m=[round(a, 4) for a in col["ate_aligned"]],
+            ate_collab_raw_m=[round(a, 4) for a in col["ate"]],
             mean_nees_collab=[round(x, 2) for x in col["mean_nees"]],
         ),
         request_comm=dict(
