@@ -42,9 +42,13 @@ def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
 
     metas = []
     tex = scene.make_texture(0)
-    thermal = dict(drift_a=0.004, drift_b=0.001, noise=0.008, vignette=0.10)
+    # oscillating AGC-style gain/bias (bounded — a monotone drift clips
+    # the bright texture by ~30 s and starves the tracker), static corner
+    # vignette for the spatial path, additive noise
+    thermal = dict(gain_amp=0.08, bias_amp=0.02, gain_period=13.0,
+                   noise=0.006, vignette=0.06)
     for a in range(n_agents):
-        adir = os.path.join(DATASET_ROOT, f"agent{a}_6dof")
+        adir = os.path.join(DATASET_ROOT, f"agent{a}_6dof_v3")
         meta_p = os.path.join(adir, "meta.json")
         if os.path.exists(meta_p):
             with open(meta_p) as f:
@@ -61,6 +65,7 @@ def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
         info = scene.generate_agent_dataset_6dof(
             adir, seed=100 + a, duration=duration, h=h, w=w,
             phase=0.15 * a, tex=tex, wall2_x=4.0, thermal=thermal,
+            yaw_amp=0.10, pitch_amp=0.06, roll_amp=0.05, z_amp=0.2,
         )
         meta = dict(
             duration=duration, h=h, w=w, fx=info["fx"], fy=info["fy"],
@@ -200,7 +205,7 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
             # (getDataToSend, vio.cpp:440-451) — that is what the paper's
             # up-to-89% reduction is measured against (README.md:98-99)
             bytes_full += pb * n_pairs
-            if f % 3 == 2:
+            if f % 10 == 9:
                 for req in range(len(agents)):
                     for res in range(len(agents)):
                         if req == res:
@@ -263,7 +268,7 @@ def main():
         ).words
     )
     ccfg = collab_mod.CollabConfig(
-        sigma_landmark=0.1, ci_slam_w=-0.05, match_budget=8,
+        sigma_landmark=0.1, ci_slam_w=-0.02, match_budget=6,
         desc_ratio_thr=0.7, desc_abs_thr=35.0, pr_score_thr=0.15,
         pr_ransac_thr=0.005, geom_consistency_tol=0.3,
         # consistency guards: no SLAM landmark re-fuses against the same
@@ -271,7 +276,7 @@ def main():
         # negative ci_slam_w = downhill-only information flow (fuse only
         # from more-confident peers — keeps helpers from drifting toward
         # the degraded agent's frame over long runs)
-        refuse_cooldown=3,
+        refuse_cooldown=10,
     )
 
     # pass 1: degraded agent solo (agent index 1 is the degraded one)

@@ -539,8 +539,18 @@ def generate_agent_dataset_6dof(
                 img = imgs[i - c0]
                 if thermal is not None:
                     t = float(cam_t[i])
-                    a = 1.0 + thermal.get("drift_a", 0.0) * t
-                    b = thermal.get("drift_b", 0.0) * t
+                    per = thermal.get("gain_period", 13.0)
+                    a = (
+                        1.0
+                        + thermal.get("drift_a", 0.0) * t
+                        + thermal.get("gain_amp", 0.0)
+                        * np.sin(2 * np.pi * t / per)
+                    )
+                    b = (
+                        thermal.get("drift_b", 0.0) * t
+                        + thermal.get("bias_amp", 0.0)
+                        * np.sin(2 * np.pi * t / (per * 1.7) + 0.8)
+                    )
                     x = img / 255.0
                     x = x * (a - b) + b + vignette
                     x = x + thermal.get("noise", 0.0) * rng.standard_normal(
