@@ -42,13 +42,13 @@ def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
 
     metas = []
     tex = scene.make_texture(0)
-    # oscillating AGC-style gain/bias (bounded — a monotone drift clips
-    # the bright texture by ~30 s and starves the tracker), static corner
-    # vignette for the spatial path, additive noise
-    thermal = dict(gain_amp=0.08, bias_amp=0.02, gain_period=13.0,
-                   noise=0.006, vignette=0.06)
+    # slow linear gain/bias drift + static corner vignette + noise
+    # (empirically the stable regime for 60 s: both the degraded and
+    # helper agents complete solo; an oscillating AGC-style gain at
+    # +/-8% destabilized the solo filter around 30 s)
+    thermal = dict(drift_a=0.004, drift_b=0.001, noise=0.006, vignette=0.06)
     for a in range(n_agents):
-        adir = os.path.join(DATASET_ROOT, f"agent{a}_6dof_v3")
+        adir = os.path.join(DATASET_ROOT, f"agent{a}_6dof_v2")
         meta_p = os.path.join(adir, "meta.json")
         if os.path.exists(meta_p):
             with open(meta_p) as f:
