@@ -11,11 +11,24 @@ The dataset is generated deterministically on first use (the reference's
 datasets are not vendored): N agents orbiting a shared textured wall,
 rendered at ground-truth poses (utils/scene.py).
 
+Round-4 structure (VERDICT r3 item 1):
+  * EVERY agent is replayed solo first (not only the degraded one), so
+    helper health is part of the artifact;
+  * solo results are disk-cached KEYED on a hash of the dataset + filter
+    configuration (the round-3 unkeyed cache could silently pair a stale
+    solo pass with a fresh collab pass);
+  * the vocabulary is the reference's shipped DBoW3 thermal vocabulary
+    (--vocab random restores the old placebo for comparison);
+  * per-path ablation flags bisect which exchange stream breaks
+    consistency (--no-rr / --no-store / --no-stored-slam / ...);
+  * the consistency gate covers ALL agents' collab NEES plus helper ATE.
+
 Usage:
-  python scripts/ate_report.py [--duration 30] [--agents 2] [--out ATE_REPORT.json]
+  python scripts/ate_report.py [--duration 60] [--agents 4] [--out ...]
 """
 import argparse
 import faulthandler
+import hashlib
 import json
 import os
 import sys
@@ -32,6 +45,15 @@ sys.path.insert(0, REPO)
 
 DATASET_ROOT = os.environ.get("XMAT_DATASET_DIR", "/tmp/xmat_dataset")
 
+# bump when filter/tracker code changes invalidate cached solo replays
+CODE_SALT = "r4a"
+
+# the round-3 "stable regime": linear gain/bias drift + static corner
+# vignette + noise (an oscillating AGC-style gain destabilized solo
+# tracking around 30 s)
+THERMAL = dict(drift_a=0.004, drift_b=0.001, noise=0.006, vignette=0.06)
+MOTION = dict(yaw_amp=0.10, pitch_amp=0.06, roll_amp=0.05, z_amp=0.2)
+
 
 def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
     """Round-3 dataset shape (VERDICT r2 item 6): 6-DoF motion with real
@@ -42,18 +64,17 @@ def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
 
     metas = []
     tex = scene.make_texture(0)
-    # slow linear gain/bias drift + static corner vignette + noise
-    # (empirically the stable regime for 60 s: both the degraded and
-    # helper agents complete solo; an oscillating AGC-style gain at
-    # +/-8% destabilized the solo filter around 30 s)
-    thermal = dict(drift_a=0.004, drift_b=0.001, noise=0.006, vignette=0.06)
+    gen_key = dict(duration=duration, h=h, w=w, thermal=THERMAL, motion=MOTION)
     for a in range(n_agents):
         adir = os.path.join(DATASET_ROOT, f"agent{a}_6dof_v2")
         meta_p = os.path.join(adir, "meta.json")
         if os.path.exists(meta_p):
             with open(meta_p) as f:
                 meta = json.load(f)
-            if meta["duration"] == duration and meta["h"] == h and meta["w"] == w:
+            # regenerate whenever ANY generation parameter changed (the
+            # round-3 check keyed only on duration/h/w, silently reusing
+            # images rendered under a different thermal/motion regime)
+            if meta.get("gen_key") == gen_key:
                 gt = np.loadtxt(
                     os.path.join(adir, "gt.csv"), delimiter=",", comments="#"
                 )
@@ -64,14 +85,16 @@ def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
         print(f"generating agent {a} dataset ({duration:.0f}s)...", flush=True)
         info = scene.generate_agent_dataset_6dof(
             adir, seed=100 + a, duration=duration, h=h, w=w,
-            phase=0.15 * a, tex=tex, wall2_x=4.0, thermal=thermal,
-            yaw_amp=0.10, pitch_amp=0.06, roll_amp=0.05, z_amp=0.2,
+            phase=0.15 * a, tex=tex, wall2_x=4.0, thermal=THERMAL,
+            z_amp=MOTION["z_amp"], yaw_amp=MOTION["yaw_amp"],
+            pitch_amp=MOTION["pitch_amp"], roll_amp=MOTION["roll_amp"],
         )
         meta = dict(
             duration=duration, h=h, w=w, fx=info["fx"], fy=info["fy"],
             v0=list(map(float, info["v0"])),
             p0=list(map(float, info["p0"])),
             q0=list(map(float, info["q0"])),
+            gen_key=gen_key,
         )
         with open(meta_p, "w") as f:
             json.dump(meta, f)
@@ -79,33 +102,54 @@ def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
     return metas
 
 
-def build_agent(meta, degraded: bool, words, ccfg, uav_id: int, collab: bool):
-    import jax.numpy as jnp
+def filter_config(meta, degraded: bool):
+    """The full agent configuration (also the solo-cache key material)."""
+    return dict(
+        n_poses=10, n_features=10, buffer_size=128,
+        n_slam=10, n_opp=40, n_matches=100, n_msckf=8, n_short=6,
+        n_new_slam=10,
+        sigma_img_px=2.0, min_track_length=6,
+        msckf_baseline=0.02, max_update_lag=16,
+        sigma_dp=0.5 if degraded else 1e-3,
+        init_offset=0.25 if degraded else 0.0,
+        fast_threshold=12.0, n_feat_min=60, win_half=10, pyramid_depth=2,
+        ransac_px=1.0,
+        photometric=dict(n_obs=80, spatial=True, cell_px=80, spatial_every=20),
+        health=dict(min_matches=8, bad_frames=15, cov_pos_max=100.0),
+    )
 
+
+def build_agent(meta, degraded: bool, words, ccfg, uav_id: int, collab: bool):
     from x_multi_agent_tpu.vio import pipeline, vio as vio_mod
     from x_multi_agent_tpu.vio import track_manager as tm
     from x_multi_agent_tpu.ekf.state import StateDims
     from x_multi_agent_tpu.vision import camera as cam_mod, tracker as trk_mod
 
-    dims = StateDims(n_poses=10, n_features=10, buffer_size=128)
+    fc = filter_config(meta, degraded)
+    dims = StateDims(
+        n_poses=fc["n_poses"], n_features=fc["n_features"],
+        buffer_size=fc["buffer_size"],
+    )
     tracks = tm.TrackDims(
-        n_slam=10, n_poses=10, n_opp=40, n_matches=100, n_msckf=8,
-        n_short=6, n_new_slam=10,
+        n_slam=fc["n_slam"], n_poses=fc["n_poses"], n_opp=fc["n_opp"],
+        n_matches=fc["n_matches"], n_msckf=fc["n_msckf"],
+        n_short=fc["n_short"], n_new_slam=fc["n_new_slam"],
     )
     cfg = pipeline.VioConfig(
-        dims=dims, tracks=tracks, sigma_img=2.0 / meta["fx"],
-        min_track_length=6, msckf_baseline_x_n=0.02, msckf_baseline_y_n=0.02,
+        dims=dims, tracks=tracks, sigma_img=fc["sigma_img_px"] / meta["fx"],
+        min_track_length=fc["min_track_length"],
+        msckf_baseline_x_n=fc["msckf_baseline"],
+        msckf_baseline_y_n=fc["msckf_baseline"],
     )
     params = vio_mod.VioParams(
-        cfg=cfg, dtype="float32", max_update_lag=16,
-        sigma_dp=(0.5,) * 3 if degraded else (1e-3,) * 3,
+        cfg=cfg, dtype="float32", max_update_lag=fc["max_update_lag"],
+        sigma_dp=(fc["sigma_dp"],) * 3,
         sigma_dv=(0.05,) * 3, sigma_dtheta_deg=(1.0,) * 3,
         sigma_dbw_deg=(1.0,) * 3, sigma_dba=(0.05,) * 3,
     )
     v = vio_mod.VIO(params)
     p0 = np.asarray(meta.get("p0", np.zeros(3)), float)
-    if degraded:
-        p0 = p0 + np.array([0.25, 0.1, 0.0])
+    p0 = p0 + np.array([fc["init_offset"], 0.4 * fc["init_offset"], 0.0])
     v.init_at_time(
         0.0, p=p0, v=np.asarray(meta["v0"]),
         q=np.asarray(meta.get("q0", [0.0, 0.0, 0.0, 1.0]), float),
@@ -116,15 +160,27 @@ def build_agent(meta, degraded: bool, words, ccfg, uav_id: int, collab: bool):
         meta["fx"] / w, meta["fy"] / h, 0.5, 0.5, 0.0, w, h
     )
     tparams = trk_mod.TrackerParams(
-        budget=tracks.n_matches, fast_threshold=12.0, n_feat_min=60,
+        budget=tracks.n_matches, fast_threshold=fc["fast_threshold"],
+        n_feat_min=fc["n_feat_min"],
         n_tiles_h=4, n_tiles_w=4, max_feat_per_tile=15,
-        block_half_length=12, margin=12, pyramid_depth=2, win_half=10,
-        lk_max_level=2, ransac_threshold_px=1.0, compute_descriptors=True,
+        block_half_length=12, margin=12, pyramid_depth=fc["pyramid_depth"],
+        win_half=fc["win_half"],
+        lk_max_level=2, ransac_threshold_px=fc["ransac_px"],
+        compute_descriptors=True,
     )
     v.setup_tracker(tparams, cam, h, w)
     # thermal degradation is baked into the dataset; the online global +
     # spatial photometric calibration must undo it (VERDICT r2 item 4/6)
-    v.enable_photometric(n_obs=80, spatial=True, cell_px=80, spatial_every=20)
+    ph = fc["photometric"]
+    v.enable_photometric(
+        n_obs=ph["n_obs"], spatial=ph["spatial"], cell_px=ph["cell_px"],
+        spatial_every=ph["spatial_every"],
+    )
+    hc = fc["health"]
+    v.enable_health_monitor(
+        min_matches=hc["min_matches"], max_bad_frames=hc["bad_frames"],
+        cov_pos_max=hc["cov_pos_max"],
+    )
     if collab:
         v.enable_collab(words, uav_id=uav_id, ccfg=ccfg)
     return v
@@ -148,7 +204,8 @@ def _aligned_ate(est: np.ndarray, gt: np.ndarray) -> float:
     return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=1))))
 
 
-def replay(agents, metas, exchange: bool, log_every: int = 10):
+def replay(agents, metas, exchange: bool, log_every: int = 10,
+           exchange_every: int = 10, trace_path: str = None):
     """Interleaved frame-by-frame replay with periodic exchange rounds."""
     from x_multi_agent_tpu.utils import dataio
 
@@ -156,12 +213,15 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
     imgs = [
         dataio.load_pgm_batch(d.cam_paths, n_threads=4) for d in data
     ]
+    na = len(agents)
     n_frames = min(len(d.cam_t) for d in data)
-    imu_is = [0] * len(agents)
     errs = [[] for _ in agents]
     nees = [[] for _ in agents]
     est_tr = [[] for _ in agents]
     gt_tr = [[] for _ in agents]
+    n_tracks_tr = [[] for _ in agents]
+    rr_fused = [0] * na  # SLAM-SLAM CI matches fused on receive, per agent
+    n_reinit = [0] * na
     bytes_rr = 0
     bytes_full = 0
     n_hits = 0
@@ -181,13 +241,17 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
                 v.process_imu_batch(
                     d.imu_t[i:j], np.arange(i, j), d.imu_w[i:j], d.imu_a[i:j]
                 )
-            imu_is[a] = j
             v.process_image_measurement(t_cam, f, imgs[a][f])
+            n_reinit[a] = getattr(v, "n_reinits", 0)
             p_est = np.asarray(v.tail_state().p)
             p_gt = m["cam_p"][f]
             errs[a].append(np.linalg.norm(p_est - p_gt))
             est_tr[a].append(p_est)
             gt_tr[a].append(p_gt)
+            n_tracks_tr[a].append(
+                int(np.sum(np.asarray(v.slots.slam_id) >= 0))
+                + int(np.sum(np.asarray(v.slots.opp_id) >= 0))
+            )
             cov_p = np.asarray(v.fs.cov[:3, :3])
             e = np.asarray(v.anchor_state().p) - p_gt
             try:
@@ -199,15 +263,15 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
 
             pb = collab_mod.payload_nbytes(agents[0].get_data_to_send())
             vb = collab_mod.vlad_nbytes(agents[0]._words)
-            n_pairs = len(agents) * (len(agents) - 1)
+            n_pairs = na * (na - 1)
             # baseline: the reference's full-exchange mode ships the
             # SimpleState payload to every peer at EVERY visual update
             # (getDataToSend, vio.cpp:440-451) — that is what the paper's
             # up-to-89% reduction is measured against (README.md:98-99)
             bytes_full += pb * n_pairs
-            if f % 10 == 9:
-                for req in range(len(agents)):
-                    for res in range(len(agents)):
+            if f % exchange_every == exchange_every - 1:
+                for req in range(na):
+                    for res in range(na):
                         if req == res:
                             continue
                         vlad = agents[req].get_descriptors()
@@ -216,12 +280,18 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
                         if found:
                             bytes_rr += pb
                             n_hits += 1
-                            agents[req].process_other_measurements(payload, uav_id=res)
+                            nf = agents[req].process_other_measurements(
+                                payload, uav_id=res
+                            )
+                            rr_fused[req] += nf
         if f % log_every == log_every - 1:
             print(
                 f"frame {f+1}/{n_frames} "
                 f"errs={[round(e[-1], 3) for e in errs]} "
-                f"hits={n_hits} ({time.perf_counter()-t0:.0f}s)",
+                f"nees={[round(x[-1], 1) for x in nees]} "
+                f"trk={[t[-1] for t in n_tracks_tr]} "
+                f"fused={rr_fused} reinit={n_reinit} hits={n_hits} "
+                f"({time.perf_counter()-t0:.0f}s)",
                 flush=True,
             )
     out = dict(
@@ -232,11 +302,56 @@ def replay(agents, metas, exchange: bool, log_every: int = 10):
         ],
         final_err=[float(e[-1]) for e in errs],
         mean_nees=[float(np.nanmean(n)) for n in nees],
+        max_nees=[float(np.nanmax(n)) for n in nees],
+        rr_fused=rr_fused,
+        n_reinits=n_reinit,
         n_hits=n_hits,
         bytes_rr=bytes_rr,
         bytes_full=bytes_full,
+        wall_s=round(time.perf_counter() - t0, 1),
     )
+    if trace_path:
+        np.savez_compressed(
+            trace_path,
+            err=np.asarray(errs), nees=np.asarray(nees),
+            est=np.asarray(est_tr), gt=np.asarray(gt_tr),
+            n_tracks=np.asarray(n_tracks_tr),
+        )
     return out
+
+
+def solo_cache_key(meta, degraded: bool) -> str:
+    key = dict(
+        salt=CODE_SALT, gen_key=meta["gen_key"],
+        fc=filter_config(meta, degraded),
+    )
+    return hashlib.sha1(
+        json.dumps(key, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def run_solo(meta, agent_idx: int, degraded: bool, force: bool = False):
+    """One agent's solo replay, disk-cached keyed on config + dataset."""
+    cache = os.path.join(
+        DATASET_ROOT,
+        f"solo_a{agent_idx}_{solo_cache_key(meta, degraded)}.json",
+    )
+    if os.path.exists(cache) and not force:
+        with open(cache) as f:
+            r = json.load(f)
+        print(f"=== solo agent {agent_idx}: cached ({os.path.basename(cache)})",
+              flush=True)
+        return r
+    print(f"=== solo pass: agent {agent_idx} (degraded={degraded}) ===",
+          flush=True)
+    v = build_agent(meta, degraded, None, None, agent_idx, collab=False)
+    r = replay(
+        [v], [meta], exchange=False,
+        trace_path=os.path.join(DATASET_ROOT, f"trace_solo_a{agent_idx}.npz"),
+    )
+    with open(cache, "w") as f:
+        json.dump(r, f)
+    return r
 
 
 def main():
@@ -245,7 +360,23 @@ def main():
     ap.add_argument("--agents", type=int, default=4)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--out", type=str, default=os.path.join(REPO, "ATE_REPORT_r03.json"))
+    ap.add_argument("--degraded", type=int, default=1, help="degraded agent index")
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(REPO, "ATE_REPORT_r04.json"))
+    ap.add_argument("--vocab", choices=["thermal", "random"], default="thermal")
+    ap.add_argument("--solo-only", action="store_true",
+                    help="run/refresh the solo passes and exit")
+    ap.add_argument("--skip-solo", action="store_true",
+                    help="collab pass only (use existing solo caches)")
+    ap.add_argument("--force-solo", action="store_true")
+    # exchange-path ablations (diagnosis)
+    ap.add_argument("--no-rr", action="store_true",
+                    help="disable the request-response exchange entirely")
+    ap.add_argument("--no-store", action="store_true",
+                    help="disable OPP match recording (rr SLAM-SLAM only)")
+    ap.add_argument("--no-stored-slam", action="store_true")
+    ap.add_argument("--no-stored-msckf", action="store_true")
+    ap.add_argument("--no-shortci", action="store_true")
     args = ap.parse_args()
 
     import bench
@@ -255,64 +386,90 @@ def main():
     import jax.numpy as jnp
 
     from x_multi_agent_tpu.parallel import collab as collab_mod
-    from x_multi_agent_tpu.place_recognition.vocabulary import train_kmajority
 
     metas = ensure_dataset(args.agents, args.duration, args.height, args.width)
 
-    # train a small vocabulary on descriptors of random patches (host-side
-    # stand-in for the reference's shipped DBoW3 thermal vocabulary)
-    rng = np.random.default_rng(0)
-    words = jnp.asarray(
-        train_kmajority(
-            rng.integers(0, 256, (512, 32)).astype(np.uint8), 32, 7
-        ).words
-    )
+    if args.vocab == "thermal":
+        # the reference's shipped DBoW3 thermal vocabulary (loaded by our
+        # independent binary reader; place_recognition.cpp:36-56 loads the
+        # same file at setup)
+        from x_multi_agent_tpu.place_recognition.vocabulary import load_dbow3
+
+        words = jnp.asarray(
+            load_dbow3(
+                "/root/reference/Vocabulary/thermal_voc_3_4_dbow3_calib.yaml"
+            ).words
+        )
+    else:
+        from x_multi_agent_tpu.place_recognition.vocabulary import train_kmajority
+
+        rng = np.random.default_rng(0)
+        words = jnp.asarray(
+            train_kmajority(
+                rng.integers(0, 256, (512, 32)).astype(np.uint8), 32, 7
+            ).words
+        )
     ccfg = collab_mod.CollabConfig(
         sigma_landmark=0.1, ci_slam_w=-0.02, match_budget=6,
         desc_ratio_thr=0.7, desc_abs_thr=35.0, pr_score_thr=0.15,
         pr_ransac_thr=0.005, geom_consistency_tol=0.3,
         # consistency guards: no SLAM landmark re-fuses against the same
-        # peer within 3 receives (collab NEES was 6.4 on 3 dof in r2);
-        # negative ci_slam_w = downhill-only information flow (fuse only
-        # from more-confident peers — keeps helpers from drifting toward
-        # the degraded agent's frame over long runs)
+        # peer within `refuse_cooldown` receives; negative ci_slam_w =
+        # downhill-only information flow (fuse only from more-confident
+        # peers — keeps helpers from drifting toward the degraded agent's
+        # frame over long runs; round 4 extends this to the stored-match
+        # upgrade path, multi_slam.apply_matches_pairs)
         refuse_cooldown=10,
+        use_stored_slam=not args.no_stored_slam,
+        use_stored_msckf=not args.no_stored_msckf,
+        use_stored_shortci=not args.no_shortci,
+        record_opp_matches=not args.no_store,
     )
 
-    # pass 1: degraded agent solo (agent index 1 is the degraded one).
-    # The result is cached on disk: a jaxlib/remote-compile crash mid-way
-    # through the (long) collab pass then only replays the collab pass on
-    # retry — compiled programs come back from the persistent cache.
-    solo_cache = os.path.join(DATASET_ROOT, "solo_result.json")
-    if os.path.exists(solo_cache):
-        with open(solo_cache) as f:
-            solo = json.load(f)
-        print("=== solo pass: cached result reused ===", flush=True)
-    else:
-        print("=== solo pass (degraded agent alone) ===", flush=True)
-        solo_agent = build_agent(metas[1], True, words, ccfg, 1, collab=False)
-        solo = replay([solo_agent], [metas[1]], exchange=False)
-        with open(solo_cache, "w") as f:
-            json.dump(solo, f)
+    # pass 1: EVERY agent solo (helper health is part of the artifact)
+    solos = [
+        run_solo(metas[a], a, a == args.degraded, force=args.force_solo)
+        for a in range(args.agents)
+    ]
+    if args.solo_only:
+        print(json.dumps(dict(
+            solo_ate_aligned=[s["ate_aligned"][0] for s in solos],
+            solo_mean_nees=[s["mean_nees"][0] for s in solos],
+        ), indent=2))
+        return
 
     # pass 2: all agents, collaborative with REQUEST_COMM exchange
     print("=== collaborative pass ===", flush=True)
     agents = [
-        build_agent(metas[a], a == 1, words, ccfg, a, collab=True)
+        build_agent(metas[a], a == args.degraded, words, ccfg, a, collab=True)
         for a in range(args.agents)
     ]
-    col = replay(agents, metas, exchange=True)
+    col = replay(
+        agents, metas, exchange=not args.no_rr,
+        trace_path=os.path.join(DATASET_ROOT, "trace_collab.npz"),
+    )
 
-    ate_solo = solo["ate_aligned"][0]
-    ate_collab = col["ate_aligned"][1]
+    di = args.degraded
+    ate_solo = solos[di]["ate_aligned"][0]
+    ate_collab = col["ate_aligned"][di]
     gain = 1.0 - ate_collab / ate_solo
     reduction = (
         1.0 - col["bytes_rr"] / col["bytes_full"] if col["bytes_full"] else 0.0
     )
-    nees_collab = col["mean_nees"][1]
     # chi2(3) consistency band for the MEAN of ~duration*10 temporally
     # correlated NEES samples (effective sample count conservatively ~N/10)
-    nees_ok = 1.5 <= nees_collab <= 4.5
+    nees_band = (1.5, 4.5)
+    nees_ok_all = [
+        nees_band[0] <= x <= nees_band[1] for x in col["mean_nees"]
+    ]
+    helpers_ok = all(
+        col["ate_aligned"][a] < 1.0 for a in range(args.agents) if a != di
+    )
+    gates = dict(
+        all_agents_nees_consistent=all(nees_ok_all),
+        helpers_converged_collab=helpers_ok,
+        degraded_gain_target=bool(gain >= 0.46),
+    )
     report = dict(
         dataset=dict(
             agents=args.agents, duration_s=args.duration,
@@ -321,21 +478,33 @@ def main():
             motion="orbit_6dof (yaw/pitch/roll + z-bob)",
             scene="front wall + side wall (non-planar)",
             thermal="gain drift + corner vignette + noise (baked)",
+            vocabulary=args.vocab,
+        ),
+        ablation=dict(
+            rr=not args.no_rr, store=not args.no_store,
+            stored_slam=ccfg.use_stored_slam,
+            stored_msckf=ccfg.use_stored_msckf,
+            stored_shortci=ccfg.use_stored_shortci,
         ),
         degraded_agent=dict(
+            index=di,
             ate_solo_m=round(ate_solo, 4),
             ate_collab_m=round(ate_collab, 4),
-            ate_solo_raw_m=round(solo["ate"][0], 4),
-            ate_collab_raw_m=round(col["ate"][1], 4),
+            ate_solo_raw_m=round(solos[di]["ate"][0], 4),
+            ate_collab_raw_m=round(col["ate"][di], 4),
             collab_gain_pct=round(100 * gain, 1),
-            mean_nees_solo=round(solo["mean_nees"][0], 2),
-            mean_nees_collab=round(nees_collab, 2),
-            nees_consistent=bool(nees_ok),
+            mean_nees_solo=round(solos[di]["mean_nees"][0], 2),
+            mean_nees_collab=round(col["mean_nees"][di], 2),
         ),
         per_agent=dict(
+            ate_solo_m=[round(s["ate_aligned"][0], 4) for s in solos],
+            mean_nees_solo=[round(s["mean_nees"][0], 2) for s in solos],
             ate_collab_m=[round(a, 4) for a in col["ate_aligned"]],
             ate_collab_raw_m=[round(a, 4) for a in col["ate"]],
             mean_nees_collab=[round(x, 2) for x in col["mean_nees"]],
+            max_nees_collab=[round(x, 1) for x in col["max_nees"]],
+            rr_fused=col["rr_fused"],
+            n_reinits=col["n_reinits"],
         ),
         request_comm=dict(
             hits=col["n_hits"],
@@ -344,16 +513,14 @@ def main():
             bandwidth_reduction_pct=round(100 * reduction, 1),
         ),
         keyframes_selected=[int(v.n_keyframes_selected) for v in agents],
+        gates=gates,
     )
     print(json.dumps(report, indent=2))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {args.out}")
-    if not nees_ok:
-        print(
-            f"CONSISTENCY GATE FAILED: collab NEES {nees_collab:.2f} "
-            "outside [1.5, 4.5] on 3 dof", file=sys.stderr,
-        )
+    if not all(gates.values()):
+        print(f"GATES FAILED: {gates}", file=sys.stderr)
         sys.exit(2)
 
 

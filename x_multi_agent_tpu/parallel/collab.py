@@ -53,6 +53,13 @@ class CollabConfig(NamedTuple):
     # cross-agent MSCKF CI weight (reference ci_msckf_w)
     ci_msckf_w: float = 0.01
     max_peers: int = 2  # joint-MSCKF peer budget per track
+    # ablation switches for the persistent match-store paths (static —
+    # each combination is its own jit variant); used to bisect which
+    # exchange stream breaks consistency in end-to-end replays
+    use_stored_slam: bool = True  # stored SLAM-SLAM upgrades
+    use_stored_shortci: bool = True  # matched-dead-track joint short CI
+    use_stored_msckf: bool = True  # stored joint-MSCKF CI
+    record_opp_matches: bool = True  # record OPP matches on receive
     # SLAM-SLAM re-fusion cooldown: once an own landmark has been CI-fused
     # against a given peer, skip re-fusing that landmark for this many
     # subsequent receives from the same peer (0 = off). Successive
@@ -549,11 +556,12 @@ def receive_and_record(
     fs, n, recency1 = fuse_with_peer_desc(
         params, ccfg, fs, slots, payload, payload_valid, recency=recency
     )
-    store = ms_mod.record(
-        store, slots, payload, uav_id,
-        ccfg.desc_ratio_thr, ccfg.desc_abs_thr, store_when=payload_valid,
-        ransac_thr=ccfg.pr_ransac_thr,
-    )
+    if ccfg.record_opp_matches:
+        store = ms_mod.record(
+            store, slots, payload, uav_id,
+            ccfg.desc_ratio_thr, ccfg.desc_abs_thr, store_when=payload_valid,
+            ransac_thr=ccfg.pr_ransac_thr,
+        )
     return fs, store, n, recency1
 
 

@@ -217,43 +217,53 @@ def visual_update(
         # solo stack gets the matched rows masked out)
         joint_obs = frame.msckf_obs
         joint_mask = frame.msckf_mask
-        joint_valid = frame.msckf_valid & work.msckf_matched.any(axis=1)
         # SLAM-SLAM upgrades: feature indices are pre-compaction here,
         # aligned with the current vision state (the reference applies
         # them in processOtherMeasurements, order-equivalent)
-        (ss_own, ss_peer, ss_p, ss_q, ss_f, ss_a, ss_cov, ss_ok) = (
-            ms_mod.gather_peer_slam(store, work)
+        if collab_cfg.use_stored_slam:
+            (ss_own, ss_peer, ss_p, ss_q, ss_f, ss_a, ss_cov, ss_ok) = (
+                ms_mod.gather_peer_slam(store, work)
+            )
+            core, vision, cov, n_ss, _ = multi_slam.apply_matches_pairs(
+                dims, core, vision, cov, ss_p, ss_q, ss_f, ss_a, ss_cov,
+                ss_own, ss_peer, ss_ok,
+                collab_cfg.sigma_landmark, collab_cfg.ci_slam_w,
+            )
+            n_collab = n_collab + n_ss
+        if collab_cfg.use_stored_shortci:
+            # matched DEAD tracks: joint short-MSCKF CI against the
+            # pre-slide pose list (the active opp_ids_ path,
+            # track_manager.cpp:238-260 + updater.cpp:52-75); matched rows
+            # leave the plain short update
+            sj_p, sj_q, sj_cov, sj_obs, sj_mask = ms_mod.gather_peer_tracks(
+                store, work.short_rows, work.short_matched
+            )
+            short_matched_any = work.short_matched.any(axis=1)
+            core, vision, cov, n_sj = msckf_multi.apply_joint_msckf_ci_pairs(
+                dims, core, vision, cov,
+                frame.short_obs, frame.short_mask & short_matched_any[:, None],
+                frame.short_valid & short_matched_any,
+                sj_p, sj_q, sj_cov, sj_obs, sj_mask, work.short_matched,
+                cfg.sigma_img, collab_cfg.ci_msckf_w, oc=cfg.obs_constrained,
+            )
+            n_collab = n_collab + n_sj
+        else:
+            short_matched_any = jnp.zeros_like(frame.short_valid)
+        msckf_matched_any = (
+            work.msckf_matched.any(axis=1)
+            if collab_cfg.use_stored_msckf
+            else jnp.zeros_like(frame.msckf_valid)
         )
-        core, vision, cov, n_ss, _ = multi_slam.apply_matches_pairs(
-            dims, core, vision, cov, ss_p, ss_q, ss_f, ss_a, ss_cov,
-            ss_own, ss_peer, ss_ok,
-            collab_cfg.sigma_landmark, collab_cfg.ci_slam_w,
-        )
-        # matched DEAD tracks: joint short-MSCKF CI against the pre-slide
-        # pose list (the active opp_ids_ path, track_manager.cpp:238-260 +
-        # updater.cpp:52-75); matched rows leave the plain short update
-        sj_p, sj_q, sj_cov, sj_obs, sj_mask = ms_mod.gather_peer_tracks(
-            store, work.short_rows, work.short_matched
-        )
-        short_matched_any = work.short_matched.any(axis=1)
-        core, vision, cov, n_sj = msckf_multi.apply_joint_msckf_ci_pairs(
-            dims, core, vision, cov,
-            frame.short_obs, frame.short_mask & short_matched_any[:, None],
-            frame.short_valid & short_matched_any,
-            sj_p, sj_q, sj_cov, sj_obs, sj_mask, work.short_matched,
-            cfg.sigma_img, collab_cfg.ci_msckf_w, oc=cfg.obs_constrained,
-        )
+        joint_valid = frame.msckf_valid & msckf_matched_any
         frame = dataclasses.replace(
             frame,
             short_valid=frame.short_valid & ~short_matched_any,
             short_mask=frame.short_mask & ~short_matched_any[:, None],
             # matched MSCKF tracks leave the solo stack (consumed jointly
             # after the stacked update, msckf_update.cpp MULTI_UAV branch)
-            msckf_valid=frame.msckf_valid & ~work.msckf_matched.any(axis=1),
-            msckf_mask=frame.msckf_mask
-            & ~work.msckf_matched.any(axis=1)[:, None],
+            msckf_valid=frame.msckf_valid & ~msckf_matched_any,
+            msckf_mask=frame.msckf_mask & ~msckf_matched_any[:, None],
         )
-        n_collab = n_collab + n_ss + n_sj
 
     # ---------------- 2. short-MSCKF update (pre-slide pose list) ---------
     short_rows, _ = msckf.build(
@@ -368,7 +378,7 @@ def visual_update(
         correction_last = corr  # increment since the LAST build
 
     # ---------------- 4b. joint-MSCKF CI on stored matches -----------------
-    if store is not None:
+    if store is not None and collab_cfg.use_stored_msckf:
         from ..parallel import match_store as ms_mod
         from .updates import msckf_multi
 

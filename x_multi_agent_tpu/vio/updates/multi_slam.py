@@ -84,6 +84,14 @@ def apply_matches_pairs(
     dtype = cov.dtype
     var_lm = sigma_landmark * sigma_landmark
     k = own_fid.shape[0]
+    # negative ci_slam_w = downhill-only information flow with base weight
+    # |w| — same semantics as the joint round form (apply_matches): fuse a
+    # match ONLY when the peer's projected landmark covariance is more
+    # confident than our own. Without this the stored-match upgrade path
+    # let well-localized helpers fuse landmarks from a degraded peer
+    # (observed: round-3 60s replay, helper ATE 207 m under collab).
+    downhill_only = ci_slam_w < 0
+    w_eff = abs(ci_slam_w)
 
     def body(carry, i):
         core, vision, cov, n_app = carry
@@ -112,17 +120,20 @@ def apply_matches_pairs(
         h = _scatter_rows(d, m, a_idx, fid, j_pos, j_att, hf, dtype)
 
         # chi2(3, 0.90) gate on the joint innovation
-        s_gate = h @ cov @ h.T + lam + var_lm * jnp.eye(3, dtype=dtype)
+        p_own = h @ cov @ h.T
+        s_gate = p_own + lam + var_lm * jnp.eye(3, dtype=dtype)
         gamma = res @ linalg.solve3(s_gate, res)
         ok = (
             match_valid[i]
             & chi2_gate(gamma, jnp.asarray(3), 0.90, 4)
             & jnp.isfinite(res).all()
         )
+        if downhill_only:
+            ok = ok & (jnp.trace(lam) < jnp.trace(p_own))
 
         def do(args):
             core, vision, cov = args
-            s, w_result = ci_mod.fuse_pairwise_proj(cov, h, lam, ci_slam_w)
+            s, w_result = ci_mod.fuse_pairwise_proj(cov, h, lam, w_eff)
             s = s + var_lm * jnp.eye(3, dtype=dtype)
             # Inflate the own anchor + feature blocks (multi_slam_update.cpp:
             # 224-237). Unlike the reference (diagonal blocks only), scale

@@ -90,9 +90,15 @@ def init_at_time(
     q=None,
     b_w=None,
     b_a=None,
+    core_cov=None,
 ) -> Tuple[FilterState, tm.TrackSlots]:
     """Reference ``VIO::initAtTime`` (vio.cpp:54-111): zero vision state,
-    sigma-diagonal covariance, standby until first IMU."""
+    sigma-diagonal covariance, standby until first IMU.
+
+    ``core_cov`` (15, 15) overrides the core block of the initial
+    covariance — used by the automatic re-initialization path to carry
+    the pre-reset core uncertainty over (a divergence re-init must not
+    make the filter *more* confident than it was)."""
     dt = params.jdtype
     dims = params.cfg.dims
     z3 = jnp.zeros(3, dt)
@@ -107,9 +113,11 @@ def init_at_time(
         w_m=z3,
         a_m=-jnp.asarray(params.g, dt),  # gravity reaction along +Z (vio.cpp:63)
     )
+    cov0 = make_initial_covariance(params)
+    if core_cov is not None:
+        cov0 = cov0.at[:15, :15].set(jnp.asarray(core_cov, dt))
     fs = ekf_mod.init_from_state(
-        params.ekf_params, core, VisionState.zero(dims, dt),
-        make_initial_covariance(params),
+        params.ekf_params, core, VisionState.zero(dims, dt), cov0,
     )
     return fs, tm.TrackSlots.zero(params.cfg.tracks, dt)
 
@@ -176,11 +184,89 @@ class VIO:
         self._debug = debug
         self.last_debug: Optional[pipeline.FrameDebug] = None
         self._last_matches: Optional[tm.Matches] = None
+        self._health = None
+        self.n_reinits = 0
 
     # -- setup / init -------------------------------------------------------
 
     def init_at_time(self, t: float, **kwargs):
         self.fs, self.slots = init_at_time(self.params, t, **kwargs)
+
+    # -- failure detection / recovery (SURVEY §5.3) --------------------------
+
+    def enable_health_monitor(self, min_matches: int = 8,
+                              max_bad_frames: int = 15,
+                              cov_pos_max: Optional[float] = 100.0):
+        """Divergence detection + automatic re-initialization.
+
+        The reference survives bad stretches through per-update chi2
+        gating and exposes ``initAtTime`` for operator re-init
+        (vio.cpp:54-111) but never *detects* divergence; a diverged agent
+        silently rides a broken state (round-3 replay: 207 m helper
+        trajectories). Here filter health is monitored online:
+
+          * tracking-quality gate: a frame whose post-RANSAC match count
+            is below ``min_matches`` skips the visual update entirely
+            (starved geometry produces outlier-dominated updates);
+          * a frame is UNHEALTHY when it was update-gated, the update was
+            dropped, the state went non-finite, or trace(P_pp) exceeds
+            ``cov_pos_max``;
+          * ``max_bad_frames`` consecutive unhealthy frames trigger
+            re-initialization from the current tail estimate, carrying
+            the core covariance over (vision state + track slots reset;
+            the tracker and photometric chain keep running).
+        """
+        self._health = dict(
+            min_matches=int(min_matches),
+            max_bad=int(max_bad_frames),
+            cov_pos_max=cov_pos_max,
+        )
+        self._bad_frames = 0
+
+    def _reinit_from_current(self):
+        """Re-init at the current tail estimate (reference ``initAtTime``
+        semantics: fresh vision state; filter re-enters standby and
+        resumes on the next IMU sample)."""
+        core = self.tail_state()
+        vals = {
+            k: np.asarray(getattr(core, k))
+            for k in ("p", "v", "q", "b_w", "b_a")
+        }
+        core_cov = np.asarray(self.fs.cov[:15, :15])
+        finite = all(np.isfinite(v).all() for v in vals.values())
+        if not finite:
+            # state itself is garbage: restart clean at the same time
+            vals = dict(p=None, v=None, q=None, b_w=None, b_a=None)
+        if not np.isfinite(core_cov).all():
+            core_cov = None
+        t = float(core.time)
+        self.init_at_time(t, core_cov=core_cov, **vals)
+        if self._collab_enabled:
+            # stored matches/keyframe-selection state reference pre-reset
+            # landmarks; drop them (the keyframe DB keeps serving peers)
+            from ..parallel import collab as collab_mod, match_store as ms_mod
+
+            self._store = ms_mod.MatchStore.zero(
+                self.params.cfg.dims, self._store_dims,
+                dtype=self.params.jdtype,
+            )
+            self._kf_meta = collab_mod.KfMeta.zero(self.params.jdtype)
+            self._fuse_recency = {}
+        self._bad_frames = 0
+        self.n_reinits += 1
+
+    def _health_post_update(self, applied: bool):
+        h = self._health
+        healthy = applied
+        if healthy:
+            p = np.asarray(self.tail_state().p)
+            healthy = bool(np.isfinite(p).all())
+        if healthy and h["cov_pos_max"] is not None:
+            tr = float(np.trace(np.asarray(self.fs.cov[:3, :3])))
+            healthy = bool(np.isfinite(tr)) and tr < h["cov_pos_max"]
+        self._bad_frames = 0 if healthy else self._bad_frames + 1
+        if self._bad_frames >= h["max_bad"]:
+            self._reinit_from_current()
 
     # -- IMU ----------------------------------------------------------------
 
@@ -449,8 +535,9 @@ class VIO:
         proto = collab_mod.extract_payload_desc(self.params, self.fs, self.slots)
         self._db = db_mod.KeyframeDB.zero(self._db_dims, proto)
         self._kf_meta = collab_mod.KfMeta.zero(self.params.jdtype)
+        self._store_dims = store_dims or ms_mod.StoreDims()
         self._store = ms_mod.MatchStore.zero(
-            self.params.cfg.dims, store_dims or ms_mod.StoreDims(),
+            self.params.cfg.dims, self._store_dims,
             dtype=self.params.jdtype,
         )
         self.n_keyframes_selected = 0
@@ -525,6 +612,15 @@ class VIO:
 
     def process_matches_measurement(self, t: float, seq: int, matches: tm.Matches):
         dt = self.params.jdtype
+        if self._health is not None:
+            # tracking-quality gate: starved/outlier-dominated frames are
+            # withheld from the filter (the covariance keeps growing — the
+            # honest representation of "no visual information")
+            n_ok = int(jnp.sum(matches.valid))
+            if n_ok < self._health["min_matches"]:
+                self._last_matches = matches
+                self._health_post_update(False)
+                return False
         meas = pipeline.FrameMeasurement.from_matches(self.params.cfg, matches)
         if self._last_range is not None:
             rv, pt = self._last_range
@@ -561,6 +657,8 @@ class VIO:
             self.fs, self.slots, applied = process_matches(
                 self.params, self.fs, self.slots, t, meas
             )
+        if self._health is not None:
+            self._health_post_update(bool(applied))
         return bool(applied)
 
     # -- telemetry -------------------------------------------------------------
