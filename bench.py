@@ -74,45 +74,84 @@ def measure_rtt():
     return float(np.median(ts) * 1e3)
 
 
-def _match_inputs_stacked(params, n_agents, n_steps, rng):
-    """(n_steps, A, ...) stacked per-frame inputs with track churn: the id
-    window rotates by 5 ids per frame (5 tracks die, 5 appear), ~3% of
-    matches drop out."""
+_SIM_CACHE = {}
+
+
+def _bench_sim(j: int, n_frames: int):
+    """Shared geometric simulation backing the match-driven bench: a
+    circle trajectory observing wall landmarks with stable track ids, so
+    MSCKF triangulation/baseline/chi2 gates run on epipolar-consistent
+    inputs (VERDICT r3 item 6 — i.i.d. Gaussian points made the asserted
+    gate behavior meaningless) while every shape stays fixed."""
+    # round the length up so warmup and measurement windows (different
+    # n_frames) share ONE sim object (identical trajectory + noise draws)
+    n_round = -(-n_frames // 256) * 256
+    key = (j, n_round)
+    if key not in _SIM_CACHE:
+        from x_multi_agent_tpu.utils.sim import make_circle_sim
+
+        _SIM_CACHE[key] = make_circle_sim(
+            duration=(n_round + 1) / 10.0, imu_rate=100.0, cam_rate=10.0,
+            n_landmarks=60, match_budget=j, pixel_noise=5e-4, seed=7,
+        )
+    return _SIM_CACHE[key]
+
+
+SIM_V0 = (1.5 * 1.2, 0.0, 0.0)  # circle-sim initial velocity (r*omega)
+
+
+def _match_inputs_stacked(params, n_agents, n_steps, rng, frame0=0):
+    """(n_steps, A, ...) stacked per-frame inputs drawn from the shared
+    geometric sim starting at frame ``frame0`` (consecutive windows
+    continue the same trajectory, so warmup + measurement form one
+    consistent replay). Per-agent: tiny i.i.d. pixel jitter so the
+    dispatch content differs across agents/steps (tunnel-cache hygiene);
+    ~3% of matches drop out per frame (track churn)."""
     import jax.numpy as jnp
 
     from x_multi_agent_tpu.vio import track_manager as tm
 
     n_imu = 10
     j = params.cfg.tracks.n_matches
-    ks = np.arange(n_steps)
-    times = (
-        ks[:, None, None] * n_imu * 0.005
-        + np.arange(1, n_imu + 1)[None, None, :] * 0.005
-    )
-    times = np.broadcast_to(times, (n_steps, n_agents, n_imu)).astype(np.float32)
+    sim = _bench_sim(j, frame0 + n_steps)
+    fsl = slice(frame0, frame0 + n_steps)
+
+    # frame f consumes IMU samples (f*10, (f+1)*10]
+    idx = (
+        np.arange(frame0, frame0 + n_steps)[:, None] * n_imu
+        + np.arange(1, n_imu + 1)[None, :]
+    )  # (n_steps, 10)
+    times = np.broadcast_to(
+        sim.imu_t[idx][:, None, :], (n_steps, n_agents, n_imu)
+    ).astype(np.float32)
     seqs = np.broadcast_to(
-        np.arange(n_imu, dtype=np.int32)[None, None, :]
-        + (ks * n_imu)[:, None, None],
-        (n_steps, n_agents, n_imu),
+        idx[:, None, :], (n_steps, n_agents, n_imu)
+    ).astype(np.int32)
+    w = sim.imu_w[idx][:, None].astype(np.float32) + rng.normal(
+        size=(n_steps, n_agents, n_imu, 3)
+    ).astype(np.float32) * 1e-5
+    a = sim.imu_a[idx][:, None].astype(np.float32) + rng.normal(
+        size=(n_steps, n_agents, n_imu, 3)
+    ).astype(np.float32) * 1e-5
+
+    ids = np.broadcast_to(
+        sim.match_id[fsl][:, None, :], (n_steps, n_agents, j)
     )
-    w = np.zeros((n_steps, n_agents, n_imu, 3), np.float32)
-    a = np.broadcast_to(
-        np.asarray([0.0, 0.0, 9.81], np.float32),
-        (n_steps, n_agents, n_imu, 3),
-    ).copy()
-    ids = (
-        np.arange(j, dtype=np.int32)[None, None, :] + 5 * ks[:, None, None]
+    valid = (
+        sim.match_valid[fsl][:, None, :]
+        & (rng.random((n_steps, n_agents, j)) > 0.03)
     )
-    ids = np.broadcast_to(ids, (n_steps, n_agents, j))
-    valid = rng.random((n_steps, n_agents, j)) > 0.03
+    jit_px = 1e-4
+    prev = sim.match_prev[fsl][:, None].astype(np.float32) + rng.normal(
+        size=(n_steps, n_agents, j, 2)
+    ).astype(np.float32) * jit_px
+    cur = sim.match_cur[fsl][:, None].astype(np.float32) + rng.normal(
+        size=(n_steps, n_agents, j, 2)
+    ).astype(np.float32) * jit_px
     matches = tm.Matches.of(
-        track_id=jnp.asarray(ids),
-        prev_pt=jnp.asarray(
-            rng.normal(size=(n_steps, n_agents, j, 2)) * 0.2, jnp.float32
-        ),
-        cur_pt=jnp.asarray(
-            rng.normal(size=(n_steps, n_agents, j, 2)) * 0.2, jnp.float32
-        ),
+        track_id=jnp.asarray(np.ascontiguousarray(ids)),
+        prev_pt=jnp.asarray(prev),
+        cur_pt=jnp.asarray(cur),
         valid=jnp.asarray(valid),
     )
     return (
@@ -151,7 +190,7 @@ def bench_matches(params, n_agents, n_steps):
 
     from x_multi_agent_tpu.vio import vio as vio_mod
 
-    fs, slots = vio_mod.init_at_time(params, 0.0)
+    fs, slots = vio_mod.init_at_time(params, 0.0, v=np.asarray(SIM_V0))
     stack = lambda x: jnp.broadcast_to(x, (n_agents,) + x.shape)
     fs = jax.tree.map(stack, fs)
     slots = jax.tree.map(stack, slots)
@@ -166,15 +205,34 @@ def bench_matches(params, n_agents, n_steps):
 
     run = jax.jit(lambda c, xs: jax.lax.scan(body, c, xs))
 
+    # warmup and measurement are CONSECUTIVE windows of one sim replay
     xs_warm = _match_inputs_stacked(params, n_agents, n_steps, rng)
-    xs_meas = _match_inputs_stacked(params, n_agents, n_steps, rng)
+    xs_meas = _match_inputs_stacked(params, n_agents, n_steps, rng, frame0=n_steps)
     carry, chks = run((fs, slots), xs_warm)
     _sync(chks)
     t0 = time.perf_counter()
     carry, chks = run(carry, xs_meas)
     _sync(chks)
     elapsed = time.perf_counter() - t0
-    assert bool(jnp.isfinite(carry[0].cov).all()), "filter covariance not finite"
+    fs1 = carry[0]
+    assert bool(jnp.isfinite(fs1.cov).all()), "filter covariance not finite"
+    # gate-health asserts (sim-driven inputs make these meaningful):
+    # every update applied, SLAM landmarks initialized, trajectory tracked
+    from x_multi_agent_tpu.ekf import ekf as ekf_mod
+
+    n_app = float(chks[-1]) - float(jnp.sum(fs1.cov[:, 0, 0]))
+    assert n_app >= 0.95 * n_agents, (
+        f"only {n_app:.0f}/{n_agents} updates applied in the last step"
+    )
+    assert int(jnp.min(fs1.vision.n_valid_features)) > 0, (
+        "no SLAM features initialized under sim-driven load"
+    )
+    sim = _bench_sim(params.cfg.tracks.n_matches, 2 * n_steps)
+    tail_p = jax.vmap(ekf_mod.tail_core)(fs1).p
+    err = float(
+        jnp.max(jnp.linalg.norm(tail_p - sim.cam_p[2 * n_steps - 1], axis=-1))
+    )
+    assert err < 1.0, f"filter lost the sim trajectory (max err {err:.2f} m)"
     return n_agents * n_steps / elapsed
 
 
@@ -186,7 +244,7 @@ def bench_batch1_latency(params, n_steps=100):
 
     from x_multi_agent_tpu.vio import vio as vio_mod
 
-    fs, slots = vio_mod.init_at_time(params, 0.0)
+    fs, slots = vio_mod.init_at_time(params, 0.0, v=np.asarray(SIM_V0))
     rng = np.random.default_rng(0)
     one_agent = _filter_step(params)
 
@@ -199,7 +257,7 @@ def bench_batch1_latency(params, n_steps=100):
     stack1 = lambda x: jnp.broadcast_to(x, (1,) + x.shape)
     carry = (jax.tree.map(stack1, fs), jax.tree.map(stack1, slots))
     xs_warm = _match_inputs_stacked(params, 1, n_steps, rng)
-    xs_meas = _match_inputs_stacked(params, 1, n_steps, rng)
+    xs_meas = _match_inputs_stacked(params, 1, n_steps, rng, frame0=n_steps)
     carry, chks = run(carry, xs_warm)
     _sync(chks)
     t0 = time.perf_counter()

@@ -46,7 +46,7 @@ sys.path.insert(0, REPO)
 DATASET_ROOT = os.environ.get("XMAT_DATASET_DIR", "/tmp/xmat_dataset")
 
 # bump when filter/tracker code changes invalidate cached solo replays
-CODE_SALT = "r4a"
+CODE_SALT = "r4b"
 
 # the round-3 "stable regime": linear gain/bias drift + static corner
 # vignette + noise (an oscillating AGC-style gain destabilized solo
@@ -102,8 +102,15 @@ def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
     return metas
 
 
-def filter_config(meta, degraded: bool):
+def filter_config(meta, degraded: bool, overrides=None):
     """The full agent configuration (also the solo-cache key material)."""
+    fc = _filter_config_base(meta, degraded)
+    if overrides:
+        fc.update(overrides)
+    return fc
+
+
+def _filter_config_base(meta, degraded: bool):
     return dict(
         n_poses=10, n_features=10, buffer_size=128,
         n_slam=10, n_opp=40, n_matches=100, n_msckf=8, n_short=6,
@@ -113,19 +120,20 @@ def filter_config(meta, degraded: bool):
         sigma_dp=0.5 if degraded else 1e-3,
         init_offset=0.25 if degraded else 0.0,
         fast_threshold=12.0, n_feat_min=60, win_half=10, pyramid_depth=2,
-        ransac_px=1.0,
+        ransac_px=1.0, obs_constrained=True, imu_noise_scale=1.0,
         photometric=dict(n_obs=80, spatial=True, cell_px=80, spatial_every=20),
         health=dict(min_matches=8, bad_frames=15, cov_pos_max=100.0),
     )
 
 
-def build_agent(meta, degraded: bool, words, ccfg, uav_id: int, collab: bool):
+def build_agent(meta, degraded: bool, words, ccfg, uav_id: int, collab: bool,
+                overrides=None):
     from x_multi_agent_tpu.vio import pipeline, vio as vio_mod
     from x_multi_agent_tpu.vio import track_manager as tm
     from x_multi_agent_tpu.ekf.state import StateDims
     from x_multi_agent_tpu.vision import camera as cam_mod, tracker as trk_mod
 
-    fc = filter_config(meta, degraded)
+    fc = filter_config(meta, degraded, overrides)
     dims = StateDims(
         n_poses=fc["n_poses"], n_features=fc["n_features"],
         buffer_size=fc["buffer_size"],
@@ -140,9 +148,17 @@ def build_agent(meta, degraded: bool, words, ccfg, uav_id: int, collab: bool):
         min_track_length=fc["min_track_length"],
         msckf_baseline_x_n=fc["msckf_baseline"],
         msckf_baseline_y_n=fc["msckf_baseline"],
+        obs_constrained=fc["obs_constrained"],
+    )
+    from x_multi_agent_tpu.ekf.propagator import ImuNoise
+
+    s = fc["imu_noise_scale"]
+    noise = ImuNoise(
+        n_w=0.0083 * s, n_bw=0.00083 * s, n_a=0.0013 * s, n_ba=0.00013 * s
     )
     params = vio_mod.VioParams(
         cfg=cfg, dtype="float32", max_update_lag=fc["max_update_lag"],
+        imu_noise=noise,
         sigma_dp=(fc["sigma_dp"],) * 3,
         sigma_dv=(0.05,) * 3, sigma_dtheta_deg=(1.0,) * 3,
         sigma_dbw_deg=(1.0,) * 3, sigma_dba=(0.05,) * 3,
@@ -172,15 +188,17 @@ def build_agent(meta, degraded: bool, words, ccfg, uav_id: int, collab: bool):
     # thermal degradation is baked into the dataset; the online global +
     # spatial photometric calibration must undo it (VERDICT r2 item 4/6)
     ph = fc["photometric"]
-    v.enable_photometric(
-        n_obs=ph["n_obs"], spatial=ph["spatial"], cell_px=ph["cell_px"],
-        spatial_every=ph["spatial_every"],
-    )
+    if ph:
+        v.enable_photometric(
+            n_obs=ph["n_obs"], spatial=ph["spatial"], cell_px=ph["cell_px"],
+            spatial_every=ph["spatial_every"],
+        )
     hc = fc["health"]
-    v.enable_health_monitor(
-        min_matches=hc["min_matches"], max_bad_frames=hc["bad_frames"],
-        cov_pos_max=hc["cov_pos_max"],
-    )
+    if hc:
+        v.enable_health_monitor(
+            min_matches=hc["min_matches"], max_bad_frames=hc["bad_frames"],
+            cov_pos_max=hc["cov_pos_max"],
+        )
     if collab:
         v.enable_collab(words, uav_id=uav_id, ccfg=ccfg)
     return v
@@ -205,7 +223,8 @@ def _aligned_ate(est: np.ndarray, gt: np.ndarray) -> float:
 
 
 def replay(agents, metas, exchange: bool, log_every: int = 10,
-           exchange_every: int = 10, trace_path: str = None):
+           exchange_every: int = 10, trace_path: str = None,
+           max_frames: int = None):
     """Interleaved frame-by-frame replay with periodic exchange rounds."""
     from x_multi_agent_tpu.utils import dataio
 
@@ -214,12 +233,14 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
         dataio.load_pgm_batch(d.cam_paths, n_threads=4) for d in data
     ]
     na = len(agents)
-    n_frames = min(len(d.cam_t) for d in data)
+    n_full = min(len(d.cam_t) for d in data)
+    n_frames = n_full if max_frames is None else min(n_full, max_frames)
     errs = [[] for _ in agents]
     nees = [[] for _ in agents]
     est_tr = [[] for _ in agents]
     gt_tr = [[] for _ in agents]
     n_tracks_tr = [[] for _ in agents]
+    n_match_tr = [[] for _ in agents]  # tracker post-RANSAC match count
     rr_fused = [0] * na  # SLAM-SLAM CI matches fused on receive, per agent
     n_reinit = [0] * na
     bytes_rr = 0
@@ -231,7 +252,7 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
     # Variable-length slicing retraced process_imu_batch mid-run and the
     # fresh compile segfaulted jaxlib after ~450 frames of accumulated
     # executables (known quirk; see tests/conftest.py).
-    n_per = int(round((len(data[0].imu_t) - 1) / n_frames))
+    n_per = int(round((len(data[0].imu_t) - 1) / n_full))
     for f in range(n_frames):
         for a, (v, d, m) in enumerate(zip(agents, data, metas)):
             t_cam = float(d.cam_t[f])
@@ -251,6 +272,10 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
             n_tracks_tr[a].append(
                 int(np.sum(np.asarray(v.slots.slam_id) >= 0))
                 + int(np.sum(np.asarray(v.slots.opp_id) >= 0))
+            )
+            n_match_tr[a].append(
+                int(np.sum(np.asarray(v._last_matches.valid)))
+                if v._last_matches is not None else 0
             )
             cov_p = np.asarray(v.fs.cov[:3, :3])
             e = np.asarray(v.anchor_state().p) - p_gt
@@ -290,6 +315,7 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
                 f"errs={[round(e[-1], 3) for e in errs]} "
                 f"nees={[round(x[-1], 1) for x in nees]} "
                 f"trk={[t[-1] for t in n_tracks_tr]} "
+                f"mt={[t[-1] for t in n_match_tr]} "
                 f"fused={rr_fused} reinit={n_reinit} hits={n_hits} "
                 f"({time.perf_counter()-t0:.0f}s)",
                 flush=True,
@@ -316,6 +342,7 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
             err=np.asarray(errs), nees=np.asarray(nees),
             est=np.asarray(est_tr), gt=np.asarray(gt_tr),
             n_tracks=np.asarray(n_tracks_tr),
+            n_matches=np.asarray(n_match_tr),
         )
     return out
 

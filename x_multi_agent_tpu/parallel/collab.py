@@ -53,6 +53,13 @@ class CollabConfig(NamedTuple):
     # cross-agent MSCKF CI weight (reference ci_msckf_w)
     ci_msckf_w: float = 0.01
     max_peers: int = 2  # joint-MSCKF peer budget per track
+    # per-round peer budget: each requester consumes at most this many
+    # received keyframes, the TOP-K by VLAD score (0 = unlimited). The
+    # reference's once-per-peer served set (database.cpp:30-50) bounds
+    # repeat traffic but not fan-in; at fleet scale every-peer fusion is
+    # O(A^2) work AND inconsistency pressure — K highest-similarity peers
+    # bound both (exchange work grows O(A*K)).
+    top_k_peers: int = 0
     # ablation switches for the persistent match-store paths (static —
     # each combination is its own jit variant); used to bisect which
     # exchange stream breaks consistency in end-to-end replays
@@ -484,7 +491,8 @@ def request_response_round(
     responder answers each peer with its best unserved keyframe above
     ``pr_score_thr`` (heavy payload shipped only on a hit — the 89%%
     bandwidth-saving policy); requesters fuse received keyframes with
-    descriptor matching + CI.
+    descriptor matching + CI. With ``ccfg.top_k_peers > 0`` each
+    requester consumes only its K best-scoring responses.
 
     Returns (fs_stack, db_stack, hits (A requesters, A responders)).
     """
@@ -496,19 +504,23 @@ def request_response_round(
     # responders answer every requester (scan mutates served flags)
     def respond(db, my_id):
         def one_req(db, req_id):
-            idx, found, db = db_mod.find_candidate(
+            idx, found, score, db = db_mod.find_candidate_scored(
                 db, req_id, vlads[req_id], ccfg.pr_score_thr
             )
             found = found & (req_id != my_id)
-            return db, (idx, found)
+            return db, (idx, found, score)
 
-        db, (idxs, founds) = jax.lax.scan(one_req, db, jnp.arange(a))
+        db, (idxs, founds, scores) = jax.lax.scan(one_req, db, jnp.arange(a))
         kfs = jax.vmap(lambda i: db_mod.get_keyframe(db, i))(idxs)
-        return db, kfs, founds
+        return db, kfs, founds, scores
 
-    db_stack, kf_grid, hit_grid = jax.vmap(respond)(db_stack, jnp.arange(a))
+    db_stack, kf_grid, hit_grid, score_grid = jax.vmap(respond)(
+        db_stack, jnp.arange(a)
+    )
     # kf_grid[b, a] = keyframe payload responder b ships to requester a
-    # hit_grid[b, a]
+    # hit_grid[b, a], score_grid[b, a]
+
+    hit_grid = top_k_hits(hit_grid.T, score_grid.T, ccfg.top_k_peers).T
 
     def consume(fs, slots, my_id):
         def one_peer(fs, b):
@@ -525,6 +537,20 @@ def request_response_round(
         fs_stack, slots_stack, jnp.arange(a)
     )
     return fs_stack, db_stack, hit_grid.T, n_matches
+
+
+def top_k_hits(hits: jnp.ndarray, scores: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep only each requester's K best-scoring hits.
+
+    hits/scores: (A requesters, P responders). k <= 0 returns hits
+    unchanged."""
+    if k <= 0:
+        return hits
+    sc = jnp.where(hits, scores, -jnp.inf)
+    order = jnp.argsort(-sc, axis=1)[:, :k]  # (A, k)
+    keep = jnp.zeros_like(hits)
+    keep = keep.at[jnp.arange(hits.shape[0])[:, None], order].set(True)
+    return hits & keep
 
 
 # ---------------------------------------------------------------------------

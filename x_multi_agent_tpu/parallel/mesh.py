@@ -131,3 +131,103 @@ def sharded_collab_round(params: vio_mod.VioParams, ccfg, mesh: Mesh):
         return jax.vmap(one_agent)(fs_block, my_ids)
 
     return jax.jit(_round)
+
+
+def sharded_collab_round_desc(params: vio_mod.VioParams, ccfg,
+                              words, mesh: Mesh):
+    """Descriptor place recognition + REQUEST_COMM over the device mesh —
+    the SURVEY §5.8 prime TPU target (reference flow ``VIO::getDescriptors``
+    / ``processOtherRequests`` / ``Database::findCandidate``,
+    vio.cpp:455-495 + database.cpp:30-50), expressed as collectives:
+
+      1. each agent computes its query VLAD locally; the (A, W, 32) VLAD
+         stack is ONE ``all_gather`` over the agents axis (the cheap
+         request broadcast — W x 32 bytes per agent);
+      2. each responder scores every requester's VLAD against its local
+         keyframe DB (batched Hamming scoring) and picks its best
+         *unserved* keyframe above ``pr_score_thr`` per requester;
+      3. the heavy keyframe payloads are routed responder -> requester in
+         ONE ``all_to_all`` (misses carry zeros; the wire protocol ships
+         only hits — the bytes accounting below reports that gated size);
+      4. each requester keeps its ``top_k_peers`` best-scoring responses
+         (bounding fan-in at O(A*K), VERDICT r3 item 4) and CI-fuses them
+         through descriptor kNN(2) + ratio/abs gates + epipolar RANSAC
+         (``fuse_with_peer_desc``).
+
+    Returns jitted ``(fs_blk, slots_blk, db_blk) ->
+    (fs, db, hits (A, A responders), n_matches (A, A))``.
+    """
+    from . import collab
+
+    aspec = P("agents")
+    n_dev = mesh.devices.size
+    words = jnp.asarray(words)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(aspec, aspec, aspec),
+        out_specs=(aspec,) * 4,
+        check_vma=False,
+    )
+    def _round(fs_blk, slots_blk, db_blk):
+        from ..place_recognition import database as db_mod
+
+        blk = fs_blk.head.shape[0]
+        a = n_dev * blk
+        my_dev = jax.lax.axis_index("agents")
+        my_ids = my_dev * blk + jnp.arange(blk)
+
+        # 1. request broadcast: all_gather of the query VLADs
+        vlads_blk = jax.vmap(lambda s: collab.query_vlad(words, s))(slots_blk)
+        vlads = jax.lax.all_gather(vlads_blk, "agents", axis=0, tiled=True)
+
+        # 2. responder side (local; batched over requesters by scan to
+        # thread the served bitmap)
+        def respond(db, my_id):
+            def one_req(db, req_id):
+                idx, found, score, db = db_mod.find_candidate_scored(
+                    db, req_id, vlads[req_id], ccfg.pr_score_thr
+                )
+                found = found & (req_id != my_id)
+                return db, (idx, found, score)
+
+            db, (idxs, founds, scores) = jax.lax.scan(one_req, db, jnp.arange(a))
+            kfs = jax.vmap(lambda i: db_mod.get_keyframe(db, i))(idxs)
+            return db, kfs, founds, scores
+
+        db_blk, kf_grid, hit_grid, score_grid = jax.vmap(respond)(
+            db_blk, my_ids
+        )
+        # kf_grid: (blk responders, A requesters, ...)
+
+        # 3. score-gated ship: ONE all_to_all routes responder->requester
+        a2a = lambda x: jax.lax.all_to_all(
+            x, "agents", split_axis=1, concat_axis=0, tiled=True
+        )
+        kf_by_req = jax.tree.map(a2a, kf_grid)  # (A responders, blk, ...)
+        hit_by_req = a2a(hit_grid)  # (A, blk)
+        score_by_req = a2a(score_grid)  # (A, blk)
+
+        # 4. top-K fan-in bound + CI consumption
+        hits = collab.top_k_hits(
+            hit_by_req.T, score_by_req.T, ccfg.top_k_peers
+        )  # (blk, A)
+
+        def consume(fs, slots, i):
+            def one_peer(fs, b):
+                kf = jax.tree.map(lambda x: x[b, i], kf_by_req)
+                fs, n, _ = collab.fuse_with_peer_desc(
+                    params, ccfg, fs, slots, kf, hits[i, b]
+                )
+                return fs, n
+
+            fs, ns = jax.lax.scan(one_peer, fs, jnp.arange(a))
+            return fs, ns
+
+        fs_blk, n_matches = jax.vmap(consume)(
+            fs_blk, slots_blk, jnp.arange(blk)
+        )
+        return fs_blk, db_blk, hits, n_matches
+
+    return jax.jit(_round)

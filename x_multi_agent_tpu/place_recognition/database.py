@@ -80,13 +80,27 @@ def find_candidate(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, KeyframeDB]:
     """Best-scoring unserved keyframe above threshold; marks it served for
     this peer. Returns (keyframe index, found, new_db)."""
+    best, found, _, db = find_candidate_scored(db, uav_id, query_vlad, score_thr)
+    return best, found, db
+
+
+def find_candidate_scored(
+    db: KeyframeDB, uav_id, query_vlad: jnp.ndarray, score_thr: float
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, KeyframeDB]:
+    """:func:`find_candidate` that also returns the winning VLAD score
+    (used by requesters for top-K peer selection, CollabConfig.top_k_peers)."""
     scores = jax.vmap(lambda v: vlad_score(query_vlad, v))(db.vlad)
     eligible = db.valid & ~db.served[:, uav_id]
     scores = jnp.where(eligible, scores, -1.0)
     best = jnp.argmax(scores)
     found = scores[best] > score_thr
     served = db.served.at[best, uav_id].set(db.served[best, uav_id] | found)
-    return best.astype(jnp.int32), found, dataclasses.replace(db, served=served)
+    return (
+        best.astype(jnp.int32),
+        found,
+        scores[best],
+        dataclasses.replace(db, served=served),
+    )
 
 
 def get_keyframe(db: KeyframeDB, idx) -> AgentPayload:

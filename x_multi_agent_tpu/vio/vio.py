@@ -239,6 +239,19 @@ class VIO:
             vals = dict(p=None, v=None, q=None, b_w=None, b_a=None)
         if not np.isfinite(core_cov).all():
             core_cov = None
+        else:
+            # floor the carried-over covariance at the configured initial
+            # sigmas: re-init happens because the filter LOST tracking —
+            # a recovery prior tighter than a fresh start is definitionally
+            # overconfident and blocks the visual corrections that would
+            # pull the re-seeded state back (observed: post-reinit runaway,
+            # err 1.4 -> 11 m over 5 s with updates applying)
+            init_diag = np.diag(
+                np.asarray(make_initial_covariance(self.params))[:15, :15]
+            )
+            d = np.diag(core_cov)
+            scale = np.sqrt(np.maximum(init_diag / np.maximum(d, 1e-30), 1.0))
+            core_cov = core_cov * scale[:, None] * scale[None, :]
         t = float(core.time)
         self.init_at_time(t, core_cov=core_cov, **vals)
         if self._collab_enabled:
