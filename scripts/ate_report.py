@@ -55,7 +55,21 @@ THERMAL = dict(drift_a=0.004, drift_b=0.001, noise=0.006, vignette=0.06)
 MOTION = dict(yaw_amp=0.10, pitch_amp=0.06, roll_amp=0.05, z_amp=0.2)
 
 
-def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
+# the degraded agent flies through genuinely WORSE visual conditions —
+# stronger thermal noise + vignette baked into its own camera stream —
+# and models that honestly with a larger sigma_img. Weak own-vision means
+# more drift solo with a covariance that reflects it; collaboration
+# (peer-landmark CI) substitutes for the weak vision — the reference's
+# up-to-46% thermal-conditions story (README.md:97-98). The round-3
+# degradation (initial position offset + large initial sigma) could never
+# show an aligned-ATE gain: a constant offset is gauge and trajectory
+# alignment removes it.
+THERMAL_DEG = dict(drift_a=0.004, drift_b=0.001, noise=0.030, vignette=0.10)
+DEG_SIGMA_IMG_PX = 5.0
+
+
+def ensure_dataset(n_agents: int, duration: float, h: int, w: int,
+                   degraded_idx: int = -1):
     """Round-3 dataset shape (VERDICT r2 item 6): 6-DoF motion with real
     rotation + z-bobbing, non-planar scene (front wall + side wall), and
     baked thermal degradation (gain drift + corner vignette + noise) that
@@ -64,8 +78,11 @@ def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
 
     metas = []
     tex = scene.make_texture(0)
-    gen_key = dict(duration=duration, h=h, w=w, thermal=THERMAL, motion=MOTION)
     for a in range(n_agents):
+        thermal = THERMAL_DEG if a == degraded_idx else THERMAL
+        gen_key = dict(
+            duration=duration, h=h, w=w, thermal=thermal, motion=MOTION,
+        )
         adir = os.path.join(DATASET_ROOT, f"agent{a}_6dof_v2")
         meta_p = os.path.join(adir, "meta.json")
         if os.path.exists(meta_p):
@@ -85,7 +102,7 @@ def ensure_dataset(n_agents: int, duration: float, h: int, w: int):
         print(f"generating agent {a} dataset ({duration:.0f}s)...", flush=True)
         info = scene.generate_agent_dataset_6dof(
             adir, seed=100 + a, duration=duration, h=h, w=w,
-            phase=0.15 * a, tex=tex, wall2_x=4.0, thermal=THERMAL,
+            phase=0.15 * a, tex=tex, wall2_x=4.0, thermal=thermal,
             z_amp=MOTION["z_amp"], yaw_amp=MOTION["yaw_amp"],
             pitch_amp=MOTION["pitch_amp"], roll_amp=MOTION["roll_amp"],
         )
@@ -115,10 +132,11 @@ def _filter_config_base(meta, degraded: bool):
         n_poses=10, n_features=10, buffer_size=128,
         n_slam=10, n_opp=40, n_matches=100, n_msckf=8, n_short=6,
         n_new_slam=10,
-        sigma_img_px=2.0, min_track_length=6,
+        sigma_img_px=DEG_SIGMA_IMG_PX if degraded else 2.0,
+        min_track_length=6,
         msckf_baseline=0.02, max_update_lag=16,
-        sigma_dp=0.5 if degraded else 1e-3,
-        init_offset=0.25 if degraded else 0.0,
+        sigma_dp=0.05 if degraded else 1e-3,
+        init_offset=0.0,
         fast_threshold=12.0, n_feat_min=60, win_half=10, pyramid_depth=2,
         ransac_px=1.0, obs_constrained=True, imu_noise_scale=1.0,
         photometric=dict(n_obs=80, spatial=True, cell_px=80, spatial_every=20),
@@ -414,7 +432,10 @@ def main():
 
     from x_multi_agent_tpu.parallel import collab as collab_mod
 
-    metas = ensure_dataset(args.agents, args.duration, args.height, args.width)
+    metas = ensure_dataset(
+        args.agents, args.duration, args.height, args.width,
+        degraded_idx=args.degraded,
+    )
 
     if args.vocab == "thermal":
         # the reference's shipped DBoW3 thermal vocabulary (loaded by our

@@ -94,6 +94,11 @@ def worker(args) -> None:
     rng = np.random.default_rng(0)
     offsets_np = rng.normal(size=(n_agents, 3)).astype(np.float32) * 0.03
     v0 = jnp.asarray([1.8, 0.0, 0.0], jnp.float32)
+    # per-landmark binary descriptors (shared appearance across agents up
+    # to a few flipped bits) — the descriptor place-recognition signal
+    desc_table = rng.integers(0, 256, (sim.landmarks.shape[0], 32)).astype(
+        np.uint8
+    )
 
     def build_state():
         offs = jnp.asarray(offsets_np)
@@ -115,6 +120,12 @@ def worker(args) -> None:
         )
         w = bcast(sim.imu_w[sl])
         a = bcast(sim.imu_a[sl])
+        ids_f = np.maximum(sim.match_id[f], 0)
+        drng = np.random.default_rng(1000 + f)
+        flips = (drng.random((n_agents, j, 32)) < 0.004).astype(np.uint8)
+        desc_f = (desc_table[ids_f][None] ^ (flips << drng.integers(0, 8))).astype(
+            np.uint8
+        )
         matches = tm.Matches.of(
             track_id=jnp.broadcast_to(
                 jnp.asarray(sim.match_id[f], jnp.int32), (n_agents, j)
@@ -122,6 +133,10 @@ def worker(args) -> None:
             prev_pt=bcast(sim.match_prev[f]),
             cur_pt=bcast(sim.match_cur[f]),
             valid=jnp.broadcast_to(
+                jnp.asarray(sim.match_valid[f]), (n_agents, j)
+            ),
+            desc=jnp.asarray(desc_f),
+            desc_valid=jnp.broadcast_to(
                 jnp.asarray(sim.match_valid[f]), (n_agents, j)
             ),
         )
@@ -138,23 +153,60 @@ def worker(args) -> None:
     ]
 
     step = pmesh.sharded_step(params, mesh)
-    ccfg = collab.CollabConfig()
-    round_fn = pmesh.sharded_collab_round(params, ccfg, mesh)
+
+    # descriptor place recognition + REQUEST_COMM over the mesh: VLAD
+    # all_gather -> batched scoring -> score-gated all_to_all -> TOP-K
+    # consumption (O(A*K) heavy exchange work, VERDICT r3 item 4 — the
+    # round-3 GT round CI-fused every peer against every agent, O(A^2))
+    from x_multi_agent_tpu.place_recognition import database as db_mod
+    from x_multi_agent_tpu.place_recognition.vocabulary import train_kmajority
+
+    words = jnp.asarray(train_kmajority(desc_table, 16, 5).words)
+    db_dims = db_mod.DbDims(
+        n_keyframes=4, n_words=int(words.shape[0]), max_agents=n_agents
+    )
+    ccfg = collab.CollabConfig(
+        desc_ratio_thr=0.8, desc_abs_thr=40.0, pr_score_thr=0.15,
+        pr_ransac_thr=0.01, ci_slam_w=0.05, top_k_peers=args.top_k,
+    )
+    round_fn = pmesh.sharded_collab_round_desc(params, ccfg, words, mesh)
+
+    def build_db(fs, slots):
+        proto = jax.vmap(
+            lambda f_, s_: collab.extract_payload_desc(params, f_, s_)
+        )(fs, slots)
+        one = jax.tree.map(lambda x: jnp.zeros_like(x[0]), proto)
+        db1 = db_mod.KeyframeDB.zero(db_dims, one)
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_agents,) + x.shape), db1
+        )
+
+    db = jax.jit(build_db, out_shardings=aspec)(fs, slots)
+    add_kf = jax.jit(
+        jax.vmap(
+            lambda d, f_, s_: db_mod.add_keyframe(
+                db_dims, d, collab.extract_payload_desc(params, f_, s_), words
+            )
+        ),
+        out_shardings=aspec,
+    )
 
     # warmup / compile on frame 0
     fs, slots, applied = step(fs, slots, *frames[0])
-    fs, n_matches = round_fn(fs)
+    db = add_kf(db, fs, slots)
+    fs, db, hits, n_matches = round_fn(fs, slots, db)
     jax.block_until_ready(fs.cov)
 
     match_total = 0
+    hit_total = 0
+    summarize = jax.jit(lambda nm: nm.sum(), out_shardings=rspec)
     t0 = time.perf_counter()
     for k in range(1, args.iters + 1):
         fs, slots, applied = step(fs, slots, *frames[k])
-        fs, n_matches = round_fn(fs)
-        summarize = jax.jit(
-            lambda nm: nm.sum(), out_shardings=rspec
-        )
+        db = add_kf(db, fs, slots)
+        fs, db, hits, n_matches = round_fn(fs, slots, db)
         match_total += int(jax.device_get(summarize(n_matches)))
+        hit_total += int(jax.device_get(summarize(hits)))
     jax.block_until_ready(fs.cov)
     elapsed = time.perf_counter() - t0
 
@@ -170,10 +222,13 @@ def worker(args) -> None:
                     "hosts": args.hosts,
                     "devices": len(devices),
                     "agents": n_agents,
+                    "top_k_peers": args.top_k,
                     "value": round(per_step_ms, 2),
                     "unit": "ms/frame (visual update + IMU batch + "
-                    "all-gather CI exchange round, all hosts)",
+                    "keyframe insert + VLAD request-response descriptor "
+                    "exchange round, all hosts)",
                     "applied": applied_all,
+                    "exchange_hits": hit_total,
                     "exchange_matches": match_total,
                 }
             ),
@@ -181,7 +236,7 @@ def worker(args) -> None:
         )
 
 
-def launch(hosts, devices_per_host, agents_per_device, iters):
+def launch(hosts, devices_per_host, agents_per_device, iters, top_k=3):
     """Spawn one config's process set; return parsed host-0 JSON."""
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
@@ -212,6 +267,7 @@ def launch(hosts, devices_per_host, agents_per_device, iters):
                     "--devices-per-host", str(devices_per_host),
                     "--agents-per-device", str(agents_per_device),
                     "--iters", str(iters),
+                    "--top-k", str(top_k),
                     "--process-id", str(pid),
                     "--coordinator", coordinator,
                 ],
@@ -251,6 +307,8 @@ def main() -> None:
     ap.add_argument("--devices-per-host", type=int, default=4)
     ap.add_argument("--agents-per-device", type=int, default=1)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--top-k", type=int, default=3,
+                    help="per-round peer budget (0 = every peer)")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--process-id", type=int, default=0)
     ap.add_argument("--coordinator", type=str, default="")
@@ -266,7 +324,7 @@ def main() -> None:
 
     if not args.sweep:
         result = launch(args.hosts, args.devices_per_host,
-                        args.agents_per_device, args.iters)
+                        args.agents_per_device, args.iters, args.top_k)
         print(json.dumps(result))
         return
 
@@ -280,7 +338,7 @@ def main() -> None:
     for hosts, dph, apd in configs:
         print(f"=== hosts={hosts} devices/host={dph} agents={hosts*dph*apd} ===",
               flush=True)
-        r = launch(hosts, dph, apd, args.iters)
+        r = launch(hosts, dph, apd, args.iters, args.top_k)
         r["agents_per_ms"] = round(r["agents"] / r["value"], 3)
         points.append(r)
         print(json.dumps(r), flush=True)

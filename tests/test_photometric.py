@@ -95,10 +95,18 @@ def test_correct_image_inverts_gain(rng):
     # corrected = distorted*(a-b)+b should recover ~img when (a,b) invert it
     a, b = 1.1, 0.02
     distorted = np.clip((img / 255.0 - b) / (a - b) * 255.0, 0, 255).astype(np.uint8)
+    # default path: plain clipped float correction recovers the image
     rec = np.array(calib.correct_image(jnp.asarray(distorted), a, b))
-    # triangular LUT doubles values <128; undo for comparison where valid
-    # (pixels that stayed in [0,127] after correction)
-    approx = rec / 2.0
+    err = np.abs(rec - img)
+    assert np.median(err) < 3.0, np.median(err)
+
+    # reference-parity path (cyclic fold + triangular LUT,
+    # irPhotoCalib.cpp:24-51,422-472): LUT doubles values <128; undo for
+    # comparison where valid
+    rec_c = np.array(
+        calib.correct_image(jnp.asarray(distorted), a, b, cyclic_lut=True)
+    )
+    approx = rec_c / 2.0
     mask = (img > 40) & (img < 200)
     err = np.abs(approx - img)[mask]
     assert np.median(err) < 3.0, np.median(err)

@@ -520,37 +520,50 @@ def request_response_round(
     # kf_grid[b, a] = keyframe payload responder b ships to requester a
     # hit_grid[b, a], score_grid[b, a]
 
-    hit_grid = top_k_hits(hit_grid.T, score_grid.T, ccfg.top_k_peers).T
+    sel, sel_valid = top_k_select(hit_grid.T, score_grid.T, ccfg.top_k_peers)
+    k_eff = sel.shape[1]
 
     def consume(fs, slots, my_id):
-        def one_peer(fs, b):
+        def one_peer(fs, kk):
+            b = sel[my_id, kk]
             kf = jax.tree.map(lambda x: x[b, my_id], kf_grid)
             fs, n, _ = fuse_with_peer_desc(
-                params, ccfg, fs, slots, kf, hit_grid[b, my_id]
+                params, ccfg, fs, slots, kf, sel_valid[my_id, kk]
             )
             return fs, n
 
-        fs, ns = jax.lax.scan(one_peer, fs, jnp.arange(a))
+        fs, ns = jax.lax.scan(one_peer, fs, jnp.arange(k_eff))
         return fs, ns
 
     fs_stack, n_matches = jax.vmap(consume)(
         fs_stack, slots_stack, jnp.arange(a)
     )
-    return fs_stack, db_stack, hit_grid.T, n_matches
+    hits_kept = (
+        jnp.zeros((a, a), jnp.int32)
+        .at[jnp.arange(a)[:, None], sel]
+        .max(sel_valid.astype(jnp.int32))
+        > 0
+    )
+    return fs_stack, db_stack, hits_kept, n_matches
 
 
-def top_k_hits(hits: jnp.ndarray, scores: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Keep only each requester's K best-scoring hits.
+def top_k_select(hits: jnp.ndarray, scores: jnp.ndarray, k: int):
+    """Each requester's K best-scoring responders — as GATHER indices, so
+    the heavy consumption (descriptor kNN + CI) runs O(K) per agent, not
+    O(A) masked (a masked lax.cond still executes both branches on TPU).
 
-    hits/scores: (A requesters, P responders). k <= 0 returns hits
-    unchanged."""
-    if k <= 0:
-        return hits
+    hits/scores: (A requesters, P responders). k <= 0 keeps all P.
+    Returns (sel (A, K) responder indices, valid (A, K))."""
+    a, p = hits.shape
+    if k <= 0 or k >= p:
+        return (
+            jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32), (a, p)),
+            hits,
+        )
     sc = jnp.where(hits, scores, -jnp.inf)
-    order = jnp.argsort(-sc, axis=1)[:, :k]  # (A, k)
-    keep = jnp.zeros_like(hits)
-    keep = keep.at[jnp.arange(hits.shape[0])[:, None], order].set(True)
-    return hits & keep
+    order = jnp.argsort(-sc, axis=1)[:, :k].astype(jnp.int32)  # (A, K)
+    valid = jnp.take_along_axis(hits, order, axis=1)
+    return order, valid
 
 
 # ---------------------------------------------------------------------------

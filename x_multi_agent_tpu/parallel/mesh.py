@@ -209,24 +209,34 @@ def sharded_collab_round_desc(params: vio_mod.VioParams, ccfg,
         hit_by_req = a2a(hit_grid)  # (A, blk)
         score_by_req = a2a(score_grid)  # (A, blk)
 
-        # 4. top-K fan-in bound + CI consumption
-        hits = collab.top_k_hits(
+        # 4. top-K fan-in bound + O(K) CI consumption (gather the selected
+        # payloads; a masked scan over all A responders would still
+        # execute the heavy fusion per responder)
+        sel, sel_valid = collab.top_k_select(
             hit_by_req.T, score_by_req.T, ccfg.top_k_peers
-        )  # (blk, A)
+        )  # (blk, K)
+        k_eff = sel.shape[1]
 
         def consume(fs, slots, i):
-            def one_peer(fs, b):
+            def one_peer(fs, kk):
+                b = sel[i, kk]
                 kf = jax.tree.map(lambda x: x[b, i], kf_by_req)
                 fs, n, _ = collab.fuse_with_peer_desc(
-                    params, ccfg, fs, slots, kf, hits[i, b]
+                    params, ccfg, fs, slots, kf, sel_valid[i, kk]
                 )
                 return fs, n
 
-            fs, ns = jax.lax.scan(one_peer, fs, jnp.arange(a))
+            fs, ns = jax.lax.scan(one_peer, fs, jnp.arange(k_eff))
             return fs, ns
 
         fs_blk, n_matches = jax.vmap(consume)(
             fs_blk, slots_blk, jnp.arange(blk)
+        )
+        hits = (
+            jnp.zeros((blk, a), jnp.int32)
+            .at[jnp.arange(blk)[:, None], sel]
+            .max(sel_valid.astype(jnp.int32))
+            > 0
         )
         return fs_blk, db_blk, hits, n_matches
 

@@ -263,11 +263,27 @@ def correct_image(
     a,
     b,
     params_ps: jnp.ndarray = None,  # (H, W) spatial offsets or None
+    cyclic_lut: bool = False,
 ) -> jnp.ndarray:
-    """Gain-corrected image (uint8), reference ``getCorrectedImage``."""
+    """Gain-corrected image, reference ``getCorrectedImage``
+    (irPhotoCalib.cpp:442-472).
+
+    ``cyclic_lut=True`` reproduces the reference exactly: the corrected
+    intensity is wrapped modulo 256 and remapped through the triangular
+    fold LUT (irPhotoCalib.cpp:42-51) — appropriate for AGC'd thermal
+    sources whose radiometry genuinely wraps. For ordinary 8-bit imagery
+    the fold is NON-MONOTONIC (it doubles values below 128 and mirrors
+    those above), so two distinct radiances map to one output and image
+    gradients reverse around mid-gray; applied online it progressively
+    destroyed LK tracking as the estimated gain drifted (round-4 replay:
+    near-total match loss windows at ~8-10 s, 3x wall cost downstream).
+    Default: plain clipping, float output (deliberate deviation, gated by
+    flag for reference parity)."""
     x = img.astype(jnp.float32) / 255.0
     corr = x * (a - b) + b
     if params_ps is not None:
         corr = corr - params_ps
-    v = (corr * 255.0).astype(jnp.int32) % 256
-    return _fold_lut(v).astype(jnp.uint8)
+    if cyclic_lut:
+        v = (corr * 255.0).astype(jnp.int32) % 256
+        return _fold_lut(v).astype(jnp.uint8)
+    return jnp.clip(corr, 0.0, 1.0) * 255.0
