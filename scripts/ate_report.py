@@ -65,7 +65,7 @@ MOTION = dict(yaw_amp=0.10, pitch_amp=0.06, roll_amp=0.05, z_amp=0.2)
 # show an aligned-ATE gain: a constant offset is gauge and trajectory
 # alignment removes it.
 THERMAL_DEG = dict(drift_a=0.004, drift_b=0.001, noise=0.030, vignette=0.10)
-DEG_SIGMA_IMG_PX = 5.0
+DEG_SIGMA_IMG_PX = 14.0
 
 
 def ensure_dataset(n_agents: int, duration: float, h: int, w: int,
@@ -132,14 +132,27 @@ def _filter_config_base(meta, degraded: bool):
         n_poses=10, n_features=10, buffer_size=128,
         n_slam=10, n_opp=40, n_matches=100, n_msckf=8, n_short=6,
         n_new_slam=10,
-        sigma_img_px=DEG_SIGMA_IMG_PX if degraded else 2.0,
+        # sigma_img covers the REAL front-end error on this data, not the
+        # nominal LK precision: the rendered-thermal replay carries
+        # correlated tracking bias (renderer aliasing, photometric
+        # residual) that a 2 px model treats as information — diagnosed
+        # at mean position NEES 50-140 (overconfident 10-25x). At 8 px
+        # the 250-frame solo NEES lands at 5.5 with UNCHANGED aligned
+        # ATE (0.087 m) — the information is redundant enough that
+        # accuracy is noise-floor-limited, not sigma-limited.
+        sigma_img_px=DEG_SIGMA_IMG_PX if degraded else 8.0,
         min_track_length=6,
         msckf_baseline=0.02, max_update_lag=16,
         sigma_dp=0.05 if degraded else 1e-3,
         init_offset=0.0,
         fast_threshold=12.0, n_feat_min=60, win_half=10, pyramid_depth=2,
         ransac_px=1.0, obs_constrained=True, imu_noise_scale=1.0,
-        photometric=dict(n_obs=80, spatial=True, cell_px=80, spatial_every=20),
+        # global-gain correction only: the per-cell spatial solve was the
+        # destabilizer in the round-4 ablations (with it: 0.30-0.38 m
+        # aligned ATE + repeated track-loss windows + reinits; global
+        # only: 0.099 m, zero reinits; fully off: 0.077 m). The spatial
+        # machinery remains available + unit/e2e tested (calib.py).
+        photometric=dict(n_obs=80, spatial=False, cell_px=80, spatial_every=20),
         health=dict(min_matches=8, bad_frames=15, cov_pos_max=100.0),
     )
 
@@ -338,6 +351,11 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
                 f"({time.perf_counter()-t0:.0f}s)",
                 flush=True,
             )
+    # NEES statistics skip the first second: right after init the position
+    # covariance is the (near-zero) prior while the renderer/tracker error
+    # is already ~1 cm, so frames 0-9 contribute O(10^3) NEES samples that
+    # say nothing about filter consistency and dominate the mean
+    skip = min(10, max(0, n_frames - 1))
     out = dict(
         ate=[float(np.sqrt(np.mean(np.square(e)))) for e in errs],
         ate_aligned=[
@@ -345,8 +363,8 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
             for e, g in zip(est_tr, gt_tr)
         ],
         final_err=[float(e[-1]) for e in errs],
-        mean_nees=[float(np.nanmean(n)) for n in nees],
-        max_nees=[float(np.nanmax(n)) for n in nees],
+        mean_nees=[float(np.nanmean(n[skip:])) for n in nees],
+        max_nees=[float(np.nanmax(n[skip:])) for n in nees],
         rr_fused=rr_fused,
         n_reinits=n_reinit,
         n_hits=n_hits,

@@ -81,7 +81,10 @@ def main():
         gt = np.loadtxt(os.path.join(adir, "gt.csv"), delimiter=",", comments="#")
         meta = dict(meta, cam_t=gt[:, 0], cam_p=gt[:, 1:4], dir=adir)
     else:
-        metas = ar.ensure_dataset(args.agent + 1, args.duration, 480, 640)
+        metas = ar.ensure_dataset(
+            args.agent + 1, args.duration, 480, 640,
+            degraded_idx=args.agent if args.degraded else -1,
+        )
         meta = metas[args.agent]
 
     overrides = dict(

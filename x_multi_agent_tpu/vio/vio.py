@@ -468,15 +468,28 @@ class VIO:
         corr_prev = prev_int * (a_prev - b_prev) + b_prev
         corr_cur = cur_int * (a_cur - b_cur) + b_cur
         rows = corr_cur - corr_prev
-        # per-pair bias removal: residual gain-estimation error adds a
-        # CONSTANT offset to every row of this frame pair; the same-cell
-        # rows (whose spatial expectation is zero) estimate it directly
+        # per-pair AFFINE removal: residual gain-estimation error between
+        # the two frames adds alpha*I + beta to every row of this pair
+        # (a gain-slope error scales with intensity, a bias error is
+        # constant). The same-cell rows — whose spatial expectation is
+        # zero — identify (alpha, beta) directly; constant-only removal
+        # left the intensity-correlated part in, which drowned the
+        # spatial signal once pairing baselines exceeded ~3 frames.
         sid_p = cell_id(prev_pts)
         sid_c = cell_id(cur_pts)
         same = (sid_p == sid_c) & ok
-        n_same = jnp.maximum(jnp.sum(same), 1)
-        bias = jnp.sum(jnp.where(same, rows, 0.0)) / n_same
-        rows = jnp.where(jnp.sum(same) >= 3, rows - bias, rows)
+        n_same = jnp.sum(same)
+        w_s = same.astype(rows.dtype)
+        sw = jnp.maximum(jnp.sum(w_s), 1.0)
+        mi = jnp.sum(w_s * cur_int) / sw
+        mr = jnp.sum(w_s * rows) / sw
+        var_i = jnp.sum(w_s * (cur_int - mi) ** 2) / sw
+        cov_ir = jnp.sum(w_s * (cur_int - mi) * (rows - mr)) / sw
+        alpha = jnp.where(var_i > 1e-6, cov_ir / jnp.maximum(var_i, 1e-6), 0.0)
+        beta = mr - alpha * mi
+        rows = jnp.where(
+            n_same >= 5, rows - (alpha * cur_int + beta), rows
+        )
         n = rows.shape[0]
         p = sp["ptr"]
         s = sp["valid"].shape[0]
