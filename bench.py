@@ -415,7 +415,19 @@ def main():
 
     rtt_ms = measure_rtt()
     updates_per_s = retry(bench_matches, params, n_agents, n_steps)
+    # per-agent update rate at the fleet sizes the scaling story quotes
+    # (BASELINE.md north star is PER-AGENT throughput; vs_baseline below
+    # is explicitly chip-aggregate)
+    agents_points = {}
+    for a_pt in (128,):
+        try:
+            ups_a = retry(bench_matches, params, a_pt, n_steps)
+            agents_points[str(a_pt)] = round(ups_a / a_pt, 1)
+        except Exception as e:  # noqa: BLE001
+            print(f"# per-agent point at {a_pt} failed: {e}", flush=True)
+    agents_points[str(n_agents)] = round(updates_per_s / n_agents, 1)
     lat_ms = retry(bench_batch1_latency, params)
+    agents_points["1"] = round(1e3 / lat_ms, 1)
     sweep = {}
     for a in img_sweep:
         try:
@@ -433,7 +445,11 @@ def main():
                 "metric": "ekf_updates_per_s_per_chip",
                 "value": round(updates_per_s, 1),
                 "unit": "updates/s",
+                # chip-aggregate vs a single-agent 200 Hz C++ estimate —
+                # NOT a per-agent ratio; see updates_per_s_per_agent
                 "vs_baseline": round(updates_per_s / BASELINE_UPDATES_PER_S, 2),
+                "vs_baseline_basis": "chip_aggregate_vs_single_agent_200hz",
+                "updates_per_s_per_agent": agents_points,
                 "frames_per_s_per_chip": frames_per_s,
                 "frames_vs_baseline": round(frames_per_s / BASELINE_FRAMES_PER_S, 2),
                 "frames_sweep": sweep,
