@@ -115,8 +115,16 @@ def fuse_with_peer(
         )
         return core, vision, cov, aux + n_app
 
+    # fuse at the receiver's NEWEST buffer state, not at the payload's
+    # snapshot time: the SLAM-SLAM residual compares two static world
+    # landmark estimates, so the peer snapshot's age is irrelevant to the
+    # receiver's linearization point (reference processOtherMeasurements
+    # updates the current state, vio.cpp:498-570). Anchoring at peer.time
+    # silently dropped EVERY fusion of a served keyframe — snapshots are
+    # seconds old, far outside the max_update_lag window.
+    meas_time = rb.times(fs.buffer)[fs.head]
     fs, n_applied, ok = ekf_mod.process_update_aux_impl(
-        params.ekf_params, fs, peer.time, update_fn, jnp.asarray(0, jnp.int32)
+        params.ekf_params, fs, meas_time, update_fn, jnp.asarray(0, jnp.int32)
     )
     return fs, n_applied
 
@@ -235,8 +243,12 @@ def fuse_with_peer_desc(
             rec1 = aux[1]
         return core, vision, cov, (aux[0] + n_app, rec1)
 
+    # current-state fusion (see fuse_with_peer): a served keyframe's
+    # snapshot time is stale by construction; the landmark residual does
+    # not depend on it
+    meas_time = rb.times(fs.buffer)[fs.head]
     fs, (n_applied, recency1), ok = ekf_mod.process_update_aux_impl(
-        params.ekf_params, fs, peer.time, update_fn,
+        params.ekf_params, fs, meas_time, update_fn,
         (jnp.asarray(0, jnp.int32), recency),
     )
     return fs, n_applied, recency1
