@@ -268,10 +268,49 @@ def _aligned_ate(est: np.ndarray, gt: np.ndarray) -> float:
     return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=1))))
 
 
+def _agent_state(v):
+    """Picklable snapshot of one agent's full replay state."""
+    import jax
+
+    keys = [
+        "fs", "slots", "_tracker_state", "_photo_state", "_photo_hist",
+        "_photo_frame", "_store", "_db", "_kf_meta", "_fuse_recency",
+        "n_keyframes_selected", "n_reinits", "_bad_frames", "_last_matches",
+    ]
+    out = {}
+    for k in keys:
+        if hasattr(v, k):
+            out[k] = jax.tree.map(np.asarray, getattr(v, k))
+    return out
+
+
+def _restore_agent(v, state):
+    import jax
+    import jax.numpy as jnp
+
+    for k, val in state.items():
+        setattr(
+            v, k,
+            jax.tree.map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                val,
+            ),
+        )
+
+
 def replay(agents, metas, exchange: bool, log_every: int = 10,
            exchange_every: int = 10, trace_path: str = None,
-           max_frames: int = None):
-    """Interleaved frame-by-frame replay with periodic exchange rounds."""
+           max_frames: int = None, ckpt_path: str = None,
+           ckpt_every: int = 100):
+    """Interleaved frame-by-frame replay with periodic exchange rounds.
+
+    ``ckpt_path``: pickle the full replay state every ``ckpt_every``
+    frames and RESUME from it if present — the device tunnel wedges /
+    jaxlib dies unpredictably on multi-thousand-dispatch passes (observed
+    twice mid-collab this round), and a 40-minute pass must survive that.
+    """
+    import pickle
+
     from x_multi_agent_tpu.utils import dataio
 
     data = [dataio.load_euroc_style(m["dir"], time_scale=1.0) for m in metas]
@@ -292,6 +331,15 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
     bytes_rr = 0
     bytes_full = 0
     n_hits = 0
+    f_start = 0
+    if ckpt_path and os.path.exists(ckpt_path):
+        with open(ckpt_path, "rb") as fh:
+            ck = pickle.load(fh)
+        for v, st in zip(agents, ck["agents"]):
+            _restore_agent(v, st)
+        (f_start, errs, nees, est_tr, gt_tr, n_tracks_tr, n_match_tr,
+         rr_fused, n_reinit, bytes_rr, bytes_full, n_hits) = ck["loop"]
+        print(f"=== resumed from checkpoint at frame {f_start} ===", flush=True)
     t0 = time.perf_counter()
     # fixed-stride IMU windows: every frame consumes EXACTLY imu_rate /
     # cam_rate samples, so the whole replay runs one compiled batch shape.
@@ -299,7 +347,19 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
     # fresh compile segfaulted jaxlib after ~450 frames of accumulated
     # executables (known quirk; see tests/conftest.py).
     n_per = int(round((len(data[0].imu_t) - 1) / n_full))
-    for f in range(n_frames):
+    for f in range(f_start, n_frames):
+        if ckpt_path and f > f_start and f % ckpt_every == 0:
+            with open(ckpt_path + ".tmp", "wb") as fh:
+                pickle.dump(
+                    dict(
+                        agents=[_agent_state(v) for v in agents],
+                        loop=(f, errs, nees, est_tr, gt_tr, n_tracks_tr,
+                              n_match_tr, rr_fused, n_reinit, bytes_rr,
+                              bytes_full, n_hits),
+                    ),
+                    fh,
+                )
+            os.replace(ckpt_path + ".tmp", ckpt_path)
         for a, (v, d, m) in enumerate(zip(agents, data, metas)):
             t_cam = float(d.cam_t[f])
             i = f * n_per + 1
@@ -332,8 +392,9 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
         if exchange and f > 10:
             from x_multi_agent_tpu.parallel import collab as collab_mod
 
-            pb = collab_mod.payload_nbytes(agents[0].get_data_to_send())
-            vb = collab_mod.vlad_nbytes(agents[0]._words)
+            if bytes_full == 0:  # payload wire sizes are static per config
+                pb = collab_mod.payload_nbytes(agents[0].get_data_to_send())
+                vb = collab_mod.vlad_nbytes(agents[0]._words)
             n_pairs = na * (na - 1)
             # baseline: the reference's full-exchange mode ships the
             # SimpleState payload to every peer at EVERY visual update
@@ -423,12 +484,16 @@ def run_solo(meta, agent_idx: int, degraded: bool, force: bool = False):
     print(f"=== solo pass: agent {agent_idx} (degraded={degraded}) ===",
           flush=True)
     v = build_agent(meta, degraded, None, None, agent_idx, collab=False)
+    ckpt = cache + ".ckpt"
     r = replay(
         [v], [meta], exchange=False,
         trace_path=os.path.join(DATASET_ROOT, f"trace_solo_a{agent_idx}.npz"),
+        ckpt_path=ckpt,
     )
     with open(cache, "w") as f:
         json.dump(r, f)
+    if os.path.exists(ckpt):
+        os.remove(ckpt)
     return r
 
 
@@ -525,10 +590,14 @@ def main():
         build_agent(metas[a], a == args.degraded, words, ccfg, a, collab=True)
         for a in range(args.agents)
     ]
+    collab_ckpt = os.path.join(DATASET_ROOT, "collab.ckpt")
     col = replay(
         agents, metas, exchange=not args.no_rr,
         trace_path=os.path.join(DATASET_ROOT, "trace_collab.npz"),
+        ckpt_path=collab_ckpt,
     )
+    if os.path.exists(collab_ckpt):
+        os.remove(collab_ckpt)
 
     di = args.degraded
     ate_solo = solos[di]["ate_aligned"][0]
