@@ -284,11 +284,21 @@ def _agent_state(v):
     return out
 
 
+_SCALAR_ATTRS = {"n_keyframes_selected", "n_reinits", "_bad_frames",
+                 "_photo_frame"}
+
+
 def _restore_agent(v, state):
     import jax
     import jax.numpy as jnp
 
     for k, val in state.items():
+        if k in _SCALAR_ATTRS:
+            # host-side counters must come back as Python ints (a leaked
+            # 0-d jnp array broke JSON serialization of the final report
+            # AFTER a full 600-frame pass)
+            setattr(v, k, int(np.asarray(val)))
+            continue
         setattr(
             v, k,
             jax.tree.map(
@@ -331,6 +341,7 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
     bytes_rr = 0
     bytes_full = 0
     n_hits = 0
+    pb = vb = None
     f_start = 0
     if ckpt_path and os.path.exists(ckpt_path):
         with open(ckpt_path, "rb") as fh:
@@ -392,7 +403,7 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
         if exchange and f > 10:
             from x_multi_agent_tpu.parallel import collab as collab_mod
 
-            if bytes_full == 0:  # payload wire sizes are static per config
+            if pb is None:  # payload wire sizes are static per config
                 pb = collab_mod.payload_nbytes(agents[0].get_data_to_send())
                 vb = collab_mod.vlad_nbytes(agents[0]._words)
             n_pairs = na * (na - 1)
@@ -441,9 +452,9 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
         final_err=[float(e[-1]) for e in errs],
         mean_nees=[float(np.nanmean(n[skip:])) for n in nees],
         max_nees=[float(np.nanmax(n[skip:])) for n in nees],
-        rr_fused=rr_fused,
-        n_reinits=n_reinit,
-        n_hits=n_hits,
+        rr_fused=[int(x) for x in rr_fused],
+        n_reinits=[int(x) for x in n_reinit],
+        n_hits=int(n_hits),
         bytes_rr=bytes_rr,
         bytes_full=bytes_full,
         wall_s=round(time.perf_counter() - t0, 1),
