@@ -524,6 +524,10 @@ def main():
                     help="collab pass only (use existing solo caches)")
     ap.add_argument("--force-solo", action="store_true")
     # exchange-path ablations (diagnosis)
+    ap.add_argument("--ci-slam-w", type=float, default=-0.02)
+    ap.add_argument("--match-budget", type=int, default=6)
+    ap.add_argument("--exchange-every", type=int, default=10)
+    ap.add_argument("--cooldown", type=int, default=10)
     ap.add_argument("--no-rr", action="store_true",
                     help="disable the request-response exchange entirely")
     ap.add_argument("--no-store", action="store_true",
@@ -567,7 +571,8 @@ def main():
             ).words
         )
     ccfg = collab_mod.CollabConfig(
-        sigma_landmark=0.1, ci_slam_w=-0.02, match_budget=6,
+        sigma_landmark=0.1, ci_slam_w=args.ci_slam_w,
+        match_budget=args.match_budget,
         desc_ratio_thr=0.7, desc_abs_thr=35.0, pr_score_thr=0.15,
         pr_ransac_thr=0.005, geom_consistency_tol=0.3,
         # consistency guards: no SLAM landmark re-fuses against the same
@@ -576,7 +581,7 @@ def main():
         # peers — keeps helpers from drifting toward the degraded agent's
         # frame over long runs; round 4 extends this to the stored-match
         # upgrade path, multi_slam.apply_matches_pairs)
-        refuse_cooldown=10,
+        refuse_cooldown=args.cooldown,
         use_stored_slam=not args.no_stored_slam,
         use_stored_msckf=not args.no_stored_msckf,
         use_stored_shortci=not args.no_shortci,
@@ -604,6 +609,7 @@ def main():
     collab_ckpt = os.path.join(DATASET_ROOT, "collab.ckpt")
     col = replay(
         agents, metas, exchange=not args.no_rr,
+        exchange_every=args.exchange_every,
         trace_path=os.path.join(DATASET_ROOT, "trace_collab.npz"),
         ckpt_path=collab_ckpt,
     )
