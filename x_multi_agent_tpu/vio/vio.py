@@ -374,32 +374,27 @@ class VIO:
         """Update the gain chain from matched-feature intensities: the
         current raw frame vs up to ``n_history`` previous raw frames at
         the same track slots (id-checked), reference
-        ``ProcessCurrentFrame`` multi-history aggregation."""
+        ``ProcessCurrentFrame`` multi-history aggregation.
+
+        The history ring stores the frames' SAMPLED intensities (each
+        frame's intensities at its own tracked points are time-invariant)
+        — re-sampling stored raw frames every call cost ~fh extra eager
+        passes per frame and kept n_history full images alive."""
         from ..photometric import calib as photo
-        from ..vision.image import bilinear_sample
 
         n = self._photo_dims.n_obs
         fh = self._photo_dims.n_history
         cur_pts = self._tracker_state.pts[:n]  # tracked positions
         cur_ids = self._tracker_state.ids[:n]
-
-        def sample(img, pts):
-            # small-patch mean: a point sample at a tracked peak is very
-            # sensitive to subpixel tracking error; the 5-point cross mean
-            # is much flatter (matters for the spatial residuals)
-            offs = jnp.asarray(
-                [[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]]
-            )
-            vals = jax.vmap(
-                lambda o: bilinear_sample(img, pts + o)
-            )(offs)
-            return jnp.mean(vals, axis=0) / 255.0
+        sample = _photo_sample_jit
 
         if self._photo_hist:
             cur_int = sample(raw_img, cur_pts)
             hist_ints, pair_valids, hist_pts_l = [], [], []
-            for raw_k, pts_k, ids_k in self._photo_hist[:fh]:
-                hist_ints.append(sample(raw_k, pts_k))
+            for int_k, pts_k, ids_k in self._photo_hist[:fh]:
+                if int_k.ndim == 2:  # legacy checkpoint: raw frame stored
+                    int_k = sample(int_k, pts_k)
+                hist_ints.append(int_k)
                 pair_valids.append((ids_k == cur_ids) & (cur_ids >= 0))
                 hist_pts_l.append(pts_k)
             n_real = len(hist_ints)
@@ -412,12 +407,12 @@ class VIO:
             offsets = jnp.asarray(
                 [min(k + 1, n_real) for k in range(fh)], jnp.int32
             )
-            self._photo_state, a_cur, b_cur = photo.process_frame(
+            self._photo_state, a_cur, b_cur = _photo_process_frame_jit(
                 self._photo_dims, self._photo_state,
                 hist_int, jnp.broadcast_to(cur_int, hist_int.shape),
                 pair_valid, offsets,
                 jax.random.PRNGKey(self._photo_frame),
-                epsilon_gap=self._photo_eps[0], epsilon_base=self._photo_eps[1],
+                self._photo_eps[0], self._photo_eps[1],
             )
             if self._photo_spatial is not None:
                 w = self._photo_dims.window
@@ -429,7 +424,7 @@ class VIO:
                         hist_ints[k], cur_int,
                         g_hist[0], g_hist[1], a_cur, b_cur,
                     )
-        self._photo_hist.insert(0, (raw_img, cur_pts, cur_ids))
+        self._photo_hist.insert(0, (sample(raw_img, cur_pts), cur_pts, cur_ids))
         del self._photo_hist[fh:]
         self._photo_frame += 1
         sp = self._photo_spatial
@@ -742,6 +737,31 @@ def _quat_from_two_vectors(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return np.array([axis[0], axis[1], axis[2], 0.0])
     q = np.array([c[0], c[1], c[2], w])
     return q / np.linalg.norm(q)
+
+
+@jax.jit
+def _photo_sample_jit(img, pts):
+    """Small-patch intensity mean at tracked positions: a point sample at
+    a tracked peak is very sensitive to subpixel tracking error; the
+    5-point cross mean is much flatter (matters for spatial residuals)."""
+    from ..vision.image import bilinear_sample
+
+    offs = jnp.asarray(
+        [[0.0, 0.0], [1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]]
+    )
+    vals = jax.vmap(lambda o: bilinear_sample(img, pts + o))(offs)
+    return jnp.mean(vals, axis=0) / 255.0
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _photo_process_frame_jit(dims, state, hist_int, cur_int, pair_valid,
+                             offsets, key, eps_gap, eps_base):
+    from ..photometric import calib as photo
+
+    return photo.process_frame(
+        dims, state, hist_int, cur_int, pair_valid, offsets, key,
+        epsilon_gap=eps_gap, epsilon_base=eps_base,
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
