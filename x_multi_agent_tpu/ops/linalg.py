@@ -256,10 +256,10 @@ def _chol_unrolled(a: jnp.ndarray) -> jnp.ndarray:
     return l
 
 
-def spd_solve(s: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(L L^T)^-1 b for SPD ``s``.
+def spd_solve_chol(s: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(L L^T)^-1 b for SPD ``s`` via blocked Cholesky + recursive
+    triangular solves (custom-call-free; oracle for :func:`spd_solve`).
 
-    Custom-call-free: blocked Cholesky + recursive triangular solves.
     Safe here because the whitened innovation S = H P H^T + I is bounded
     below by I, so Cholesky pivots are >= 1 and the Neumann tips of the
     recursive solves cannot amplify through near-zero pivots (unlike the
@@ -268,6 +268,70 @@ def spd_solve(s: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     l = chol_blocked(s)
     return tri_solve_upper_t(l, tri_solve_lower(l, b))
+
+
+def inv_spd_newton(s: jnp.ndarray, max_iter: int = 48,
+                   tol: float = 3e-6) -> jnp.ndarray:
+    """Approximate S^-1 for SPD ``s`` by Newton-Schulz iteration.
+
+    X_{k+1} = X_k (2I - S X_k), X_0 = alpha I with alpha = 2/(lam_lb +
+    lam_ub) from the Gershgorin row-sum bound — then ||I - S X_k||_2
+    squares each step, so convergence is ~log2(kappa) + 5 iterations.
+    Every step is ONE pair of full-size MXU matmuls: on TPU this replaces
+    the ~12k-HLO blocked-Cholesky/triangular-solve pipeline (the dominant
+    small-op cost of the whole filter step — each tiny unrolled-tip op
+    runs at its latency floor) with ~2 ops per iteration. The while_loop
+    exits on the Frobenius residual, so the common well-conditioned frame
+    pays only its own kappa.
+
+    Accuracy is f32-limited (residual ~kappa * eps); :func:`spd_solve`
+    adds iterative refinement on the actual solve to recover
+    Cholesky-level accuracy (verified against the chol oracle in
+    tests/test_linalg.py).
+    """
+    n = s.shape[-1]
+    dtype = s.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    lam_ub = jnp.max(jnp.sum(jnp.abs(s), axis=-1), axis=-1)  # Gershgorin, (...)
+    alpha = 2.0 / (1.0 + lam_ub)  # our S is >= I; harmless otherwise
+    x0 = jnp.broadcast_to(alpha[..., None, None] * eye, s.shape)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    def cond(carry):
+        x, it, resid, prev = carry
+        # exit on convergence, on the roundoff floor (residual stopped
+        # decreasing — quadratic convergence means every healthy iteration
+        # strictly shrinks it), or on the iteration cap
+        return (resid > tol) & (resid < prev) & (it < max_iter)
+
+    def body(carry):
+        x, it, resid, _ = carry
+        e = eye - s @ x
+        x = x + x @ e  # = x (2I - s x)
+        r = jnp.max(jnp.sqrt(jnp.sum(e * e, axis=(-2, -1))))
+        return x, it + 1, r / jnp.sqrt(jnp.asarray(n, dtype)), resid
+
+    x, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (x0, jnp.asarray(0, jnp.int32), big * jnp.asarray(0.5, dtype), big),
+    )
+    return x
+
+
+def spd_solve(s: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """S^-1 b for SPD ``s``: Newton-Schulz approximate inverse + two
+    iterative-refinement sweeps on the solve itself.
+
+    Refinement contracts the solve residual by ||I - S X|| per sweep, so
+    an X accurate to ~1e-4 yields a solve at f32 roundoff — matching the
+    Cholesky path (:func:`spd_solve_chol`, kept as the oracle) at a tiny
+    fraction of its HLO count.
+    """
+    x = inv_spd_newton(s)
+    y = x @ b
+    y = y + x @ (b - s @ y)
+    y = y + x @ (b - s @ y)
+    return y
 
 
 def qr_compress(
@@ -375,7 +439,11 @@ def mahalanobis_gamma(
         ) / det
     if r == 3:
         return res @ solve3(s, res)
-    return _gamma_chol_unrolled(s, res)
+    # r > 3: Newton-Schulz solve (S >= I here too) — the unrolled-Cholesky
+    # forward substitution (_gamma_chol_unrolled, kept as the oracle) costs
+    # ~50 HLOs per unrolled row, i.e. ~900 small sequential ops at the
+    # MSCKF row count, in EVERY builder
+    return res @ spd_solve(s, res[:, None])[:, 0]
 
 
 def _gamma_chol_unrolled(s: jnp.ndarray, res: jnp.ndarray) -> jnp.ndarray:
