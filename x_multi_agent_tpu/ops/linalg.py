@@ -46,29 +46,27 @@ def symmetrize(p: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form 3x3 solve (adjugate/Cramer) — pure arithmetic, avoids
-    the LU custom call for the many tiny solves in triangulation."""
-    det = (
-        a[..., 0, 0] * (a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1])
-        - a[..., 0, 1] * (a[..., 1, 0] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 0])
-        + a[..., 0, 2] * (a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0])
-    )
+    """Closed-form 3x3 solve — pure arithmetic, avoids the LU custom call
+    for the many tiny solves in triangulation.
+
+    Cramer via cross products of the COLUMNS: with columns a0, a1, a2,
+    the rows of A^-1 are (a1xa2)/det, (a2xa0)/det, (a0xa1)/det with
+    det = a0 . (a1 x a2), so x = [ (a1xa2).b, (a2xa0).b, (a0xa1).b ]
+    / det. Three batched crosses + dots lower to ~1/4 the HLOs of the
+    9-entry adjugate stack (the GN triangulation chain runs this every
+    unrolled iteration)."""
+    a0, a1, a2 = a[..., :, 0], a[..., :, 1], a[..., :, 2]
+    c0 = jnp.cross(a1, a2)
+    c1 = jnp.cross(a2, a0)
+    c2 = jnp.cross(a0, a1)
+    det = jnp.sum(a0 * c0, axis=-1)
     safe = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    adj = jnp.stack(
-        [
-            a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1],
-            a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2],
-            a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1],
-            a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2],
-            a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0],
-            a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2],
-            a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0],
-            a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1],
-            a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0],
-        ],
+    num = jnp.stack(
+        [jnp.sum(c0 * b, axis=-1), jnp.sum(c1 * b, axis=-1),
+         jnp.sum(c2 * b, axis=-1)],
         axis=-1,
-    ).reshape(a.shape)
-    return jnp.einsum("...ij,...j->...i", adj, b) / safe[..., None]
+    )
+    return num / safe[..., None]
 
 
 def householder_qt(hf: jnp.ndarray, *mats):

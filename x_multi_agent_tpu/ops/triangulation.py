@@ -90,6 +90,16 @@ def triangulate_gn(
 
     eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-8, dtype)
 
+    # loop-invariant Jacobian basis, premasked once: columns
+    # [j_alpha, j_beta, j_rho] of d(h_i)/d(params). Rebuilding it (and
+    # re-masking) inside each unrolled GN step was ~1/3 of the ~450 HLOs
+    # per iteration — the GN chain is the dominant sequential-small-op
+    # cost of every MSCKF-family builder.
+    j0 = jnp.concatenate(
+        [delta_rot[:, :, 0:2], delta_pos[:, :, None]], axis=2
+    )  # (M,3,3)
+    j0 = jnp.where(mask[:, None, None], j0, 0.0)
+
     def gn_step(carry, _):
         params, r_norm_last, r_norm, active = carry
         alpha, beta, rho = params[0], params[1], params[2]
@@ -99,19 +109,16 @@ def triangulate_gn(
         pred = h_i[:, :2] / safe_z[:, None]
         r = jnp.where(mask[:, None], obs - pred, 0.0)  # (M,2)
 
-        # J = d(pred)/d(alpha,beta,rho); reference builds j1 @ j0 with a
-        # negative j1 so its "residual Jacobian" is d(r)/d(params)
-        j0 = jnp.concatenate(
-            [delta_rot[:, :, 0:2], delta_pos[:, :, None]], axis=2
-        )  # (M,3,3): columns [j_alpha, j_beta, j_rho]
+        # jac = j1 @ j0 with j1 = d(r)/d(h_i) = [[-1/z, 0, x/z^2],
+        # [0, -1/z, y/z^2]] expanded in closed form (no per-step j1
+        # assembly / batched einsum):
+        #   jac[m, a, k] = -j0[m, a, k]/z + h[m, a] * j0[m, 2, k] / z^2
+        # j0 is premasked, so jac rows of masked observations are zero.
         inv_z = 1.0 / safe_z
-        j1 = jnp.zeros((m, 2, 3), dtype)
-        j1 = j1.at[:, 0, 0].set(-inv_z)
-        j1 = j1.at[:, 1, 1].set(-inv_z)
-        j1 = j1.at[:, 0, 2].set(h_i[:, 0] * inv_z**2)
-        j1 = j1.at[:, 1, 2].set(h_i[:, 1] * inv_z**2)
-        jac = jnp.einsum("mij,mjk->mik", j1, j0)
-        jac = jnp.where(mask[:, None, None], jac, 0.0)
+        jac = (
+            -inv_z[:, None, None] * j0[:, :2, :]
+            + (h_i[:, :2] * (inv_z * inv_z)[:, None])[:, :, None] * j0[:, 2:3, :]
+        )
 
         from . import linalg as _linalg
 

@@ -314,14 +314,37 @@ def visual_update(
         # the fixed prior (measured: iekf_iter=3 diverged 5x / drifted in
         # the linear-regime oracle before the freeze; test_iekf.py).
         if it == 0:
+            # ONE batched GN-triangulation chain for both track families:
+            # the unrolled 10-step GN refinement is ~4.8k sequential HLOs
+            # per builder call, and under vmap its op count is independent
+            # of the track count — so triangulating the MSCKF and
+            # MSCKF-SLAM sets in separate builder calls doubles the
+            # dominant sequential-small-op cost of the stacked update for
+            # no reason. Both builders accept precomputed triangulations
+            # (fixed_world / fixed_tri, the IEKF>0 path), so hoist one
+            # concatenated call here. Bit-identical inputs to each
+            # builder; reference runs the same GN per track set
+            # (msckf_update.cpp:90-130, msckf_slam_update.cpp).
+            from ..ops.triangulation import triangulate_gn
+
+            k_ms = frame.msckf_obs.shape[0]
+            all_obs = jnp.concatenate([frame.msckf_obs, frame.new_obs], axis=0)
+            all_mask = jnp.concatenate([frame.msckf_mask, new_mask_ms], axis=0)
+            ivd_all, anchor_all = jax.vmap(
+                lambda o, mk: triangulate_gn(o, mk, vision.q_arr, vision.p_arr)
+            )(all_obs, all_mask)
+            world_ms = jax.vmap(
+                lambda f, a: ivd_to_world(f, vision.q_arr[a], vision.p_arr[a])
+            )(ivd_all[:k_ms], anchor_all[:k_ms])
             msckf_rows, ms_info = msckf.build(
                 frame.msckf_obs, frame.msckf_mask, vision.q_arr,
                 vision.p_arr, cov, cfg.sigma_img, n,
-                oc=cfg.obs_constrained,
+                oc=cfg.obs_constrained, fixed_world=world_ms,
             )
             mslam_rows, ms_init = msckf_slam.build(
                 frame.new_obs, new_mask_ms, vision.q_arr, vision.p_arr,
                 cov, cfg.sigma_img, n,
+                fixed_tri=(ivd_all[k_ms:], anchor_all[k_ms:]),
             )
         else:
             msckf_rows, _ = msckf.build(
