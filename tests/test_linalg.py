@@ -83,3 +83,35 @@ def test_blocked_chol_and_neumann_solves(rng):
         b = rng.normal(size=(3, n, 7))
         x = np.asarray(linalg.spd_solve(jnp.asarray(s), jnp.asarray(b)))
         np.testing.assert_allclose(x, np.linalg.solve(s, b), rtol=1e-8, atol=1e-9)
+
+
+def test_solve3_general_matrices(rng):
+    """Cross-product Cramer solve3 must hold for NON-symmetric A too (the
+    production callers are all symmetric normal/innovation matrices, but
+    the utility is general)."""
+    a = rng.normal(size=(64, 3, 3))
+    b = rng.normal(size=(64, 3))
+    x = np.asarray(linalg.solve3(jnp.asarray(a), jnp.asarray(b)))
+    want = np.linalg.solve(a, b[..., None])[..., 0]
+    np.testing.assert_allclose(x, want, rtol=1e-8, atol=1e-8)
+
+
+def test_newton_schulz_solve_matches_chol_oracle(rng):
+    """spd_solve (Newton-Schulz + refinement) vs the blocked-Cholesky
+    oracle across conditionings, including the whitened-innovation shape
+    S = I + H P H^T the Kalman path feeds it."""
+    n = 150
+    for kappa in (1e1, 1e3, 1e5):
+        q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        lam = np.logspace(0, np.log10(kappa), n)
+        s = (q * lam) @ q.T + np.eye(n)
+        s = 0.5 * (s + s.T)
+        b = rng.normal(size=(n, 8))
+        want = np.linalg.solve(s, b)
+        got = np.asarray(linalg.spd_solve(jnp.asarray(s), jnp.asarray(b)))
+        chol = np.asarray(linalg.spd_solve_chol(jnp.asarray(s), jnp.asarray(b)))
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        rel_chol = np.linalg.norm(chol - want) / np.linalg.norm(want)
+        # at least as accurate as the oracle path it replaced (x64 here;
+        # the f32 comparison on realistic kappa is in the module docstring)
+        assert rel <= max(2 * rel_chol, 1e-10), (kappa, rel, rel_chol)
