@@ -83,7 +83,9 @@ DEG_ACCEL_FACTOR = 50.0
 # [1.5, 4.5] consistency band (NEES scales with squared remaining
 # error, and its x600-gyro yaw-walk error is exactly the part peer
 # fusion removes).
-AGENT_SIGMA_IMG_PX = (14.0, 22.0, 10.0, 6.0)
+AGENT_SIGMA_IMG_PX = (14.0, 22.0, 10.0, 8.0)  # agent 3 at 6 px overshot
+# (solo NEES 6.08 — its front-end bias floor dominates below ~8 px, the
+# local response is ~sigma^-3, so 8 px targets ~2.5)
 
 
 def ensure_dataset(n_agents: int, duration: float, h: int, w: int,
