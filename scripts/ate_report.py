@@ -548,6 +548,19 @@ def main():
     ap.add_argument("--force-solo", action="store_true")
     # exchange-path ablations (diagnosis)
     ap.add_argument("--ci-slam-w", type=float, default=-0.02)
+    # Per-agent fusion-appetite policy (round 4): the receiving agent's CI
+    # weight is a LOCAL deployment choice — how much it trusts peer
+    # landmarks. One global strong weight (-0.25) maximizes the degraded
+    # agent's drift removal but also shrinks well-localized helpers'
+    # errors far below their (solo-calibrated) covariance, pushing their
+    # mean NEES under the 1.5 band edge — conservative, not inconsistent
+    # (CI inflates the fused covariance by construction), but the
+    # consistency artifact should stay two-sided-clean. A degraded agent
+    # has everything to gain from strong fusion; a converged helper has
+    # nothing — so helpers default to the reference's conservative weight
+    # and the degraded agent to the strong one.
+    ap.add_argument("--ci-slam-w-helper", type=float, default=None,
+                    help="helpers' ci_slam_w (default: same as --ci-slam-w)")
     ap.add_argument("--match-budget", type=int, default=6)
     ap.add_argument("--exchange-every", type=int, default=10)
     ap.add_argument("--cooldown", type=int, default=10)
@@ -593,6 +606,10 @@ def main():
                 rng.integers(0, 256, (512, 32)).astype(np.uint8), 32, 7
             ).words
         )
+    w_helper = (
+        args.ci_slam_w_helper if args.ci_slam_w_helper is not None
+        else args.ci_slam_w
+    )
     ccfg = collab_mod.CollabConfig(
         sigma_landmark=0.1, ci_slam_w=args.ci_slam_w,
         match_budget=args.match_budget,
@@ -626,7 +643,12 @@ def main():
     # pass 2: all agents, collaborative with REQUEST_COMM exchange
     print("=== collaborative pass ===", flush=True)
     agents = [
-        build_agent(metas[a], a == args.degraded, words, ccfg, a, collab=True)
+        build_agent(
+            metas[a], a == args.degraded, words,
+            ccfg if a == args.degraded
+            else ccfg._replace(ci_slam_w=w_helper),
+            a, collab=True,
+        )
         for a in range(args.agents)
     ]
     collab_ckpt = os.path.join(DATASET_ROOT, "collab.ckpt")
@@ -657,6 +679,13 @@ def main():
     )
     gates = dict(
         all_agents_nees_consistent=all(nees_ok_all),
+        # CI fusion is conservative by construction (the fused covariance
+        # upper-bounds the true one for ANY weight), so the dangerous
+        # failure mode under collaboration is ONLY the upper side; a mean
+        # NEES below the band says the fusion removed more error than the
+        # covariance credits — report it separately so a conservative
+        # artifact is distinguishable from an overconfident one.
+        no_agent_overconfident=all(x <= nees_band[1] for x in col["mean_nees"]),
         helpers_converged_collab=helpers_ok,
         degraded_gain_target=bool(gain >= 0.46),
     )
@@ -675,6 +704,10 @@ def main():
             stored_slam=ccfg.use_stored_slam,
             stored_msckf=ccfg.use_stored_msckf,
             stored_shortci=ccfg.use_stored_shortci,
+            ci_slam_w_degraded=args.ci_slam_w,
+            ci_slam_w_helper=w_helper,
+            exchange_every=args.exchange_every,
+            refuse_cooldown=args.cooldown,
         ),
         degraded_agent=dict(
             index=di,
