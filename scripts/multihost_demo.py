@@ -344,14 +344,41 @@ def main() -> None:
         print(json.dumps(r), flush=True)
     base = points[0]["agents_per_ms"]
     for r in points:
-        # throughput per agent relative to the smallest config: how much
-        # of the per-agent rate survives as agents/hosts scale up
-        r["scaling_efficiency"] = round(r["agents_per_ms"] / base, 3)
+        # raw throughput relative to the smallest config — a RATIO, not an
+        # efficiency (it grows with agent batching; the round-4 artifact
+        # mislabeled this "scaling_efficiency" and showed values > 1)
+        r["throughput_ratio_vs_smallest"] = round(r["agents_per_ms"] / base, 3)
+    # host-split efficiency: every sweep config uses 8 global devices, so
+    # ideal linear scaling predicts EQUAL throughput for the 2-host and
+    # 4-host splits at the same agents/device — the retention of the
+    # 4-host split is a well-defined efficiency <= ~1 (DCN-crossing cost)
+    by_apd = {}
+    for r in points:
+        by_apd.setdefault(r["agents"] // 8, {})[r["hosts"]] = r
+    host_split_eff = {}
+    for apd, d in sorted(by_apd.items()):
+        if 2 in d and 4 in d:
+            host_split_eff[str(apd)] = round(
+                d[4]["agents_per_ms"] / d[2]["agents_per_ms"], 3
+            )
+    # top-K peer-budget ablation at the largest config: exchange hits are
+    # O(A*K), per-step cost should fall with K
+    topk_points = []
+    for tk in (1, 3, 8):
+        print(f"=== topk ablation: top_k={tk} ===", flush=True)
+        r = launch(2, 4, 16, args.iters, tk)
+        topk_points.append(
+            {"top_k_peers": tk, "ms_per_step": r["value"],
+             "exchange_hits": r.get("exchange_hits")}
+        )
+        print(json.dumps(topk_points[-1]), flush=True)
     report = {
         "transport": "jax.distributed gRPC (CPU multi-process stand-in for DCN)",
         "drive": "shared-scene (real cross-agent landmark fusion)",
         "iters_per_config": args.iters,
         "sweep": points,
+        "host_split_efficiency_4h_vs_2h": host_split_eff,
+        "top_k_ablation": topk_points,
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

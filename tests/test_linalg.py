@@ -115,3 +115,32 @@ def test_newton_schulz_solve_matches_chol_oracle(rng):
         # at least as accurate as the oracle path it replaced (x64 here;
         # the f32 comparison on realistic kappa is in the module docstring)
         assert rel <= max(2 * rel_chol, 1e-10), (kappa, rel, rel_chol)
+
+
+def test_mahalanobis_gamma_fixed_ns_ill_conditioned(rng):
+    """The chi2-gate gamma uses a FIXED-count Newton-Schulz solve
+    (linalg.mahalanobis_gamma, r > 3 branch); it must stay accurate on the
+    strongly-informative tracks the EKF actually produces, where
+    S = I + H P H^T reaches kappa ~ 1e5-1e6 with highly correlated rows
+    (one landmark seen from nearby poses)."""
+    d, r = 40, 27
+    for kappa in (1e2, 1e4, 1e6):
+        # low-rank highly-correlated information: a few dominant directions
+        u = rng.normal(size=(r, 3))
+        h = (u @ rng.normal(size=(3, d))) * np.sqrt(kappa) / 10.0 + rng.normal(
+            size=(r, d)
+        )
+        a = rng.normal(size=(d, d))
+        cov = (a @ a.T) / d + np.eye(d) * 1e-6
+        s = h @ cov @ h.T + np.eye(r)
+        res = rng.normal(size=(r,))
+        want = float(res @ np.linalg.solve(s, res))
+        got = float(
+            linalg.mahalanobis_gamma(
+                jnp.asarray(cov, jnp.float64),
+                jnp.asarray(h, jnp.float64),
+                jnp.asarray(res, jnp.float64),
+            )
+        )
+        assert np.isfinite(got)
+        np.testing.assert_allclose(got, want, rtol=2e-2), kappa

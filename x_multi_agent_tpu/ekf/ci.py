@@ -20,7 +20,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import highprec
 
+
+@highprec
 def fuse_pairwise(
     cov_a: jnp.ndarray,
     h_a: jnp.ndarray,
@@ -36,6 +39,7 @@ def fuse_pairwise(
     return fuse_pairwise_proj(cov_a, h_a, p_b, w_other, n_opt_iters)
 
 
+@highprec
 def fuse_pairwise_proj(
     cov_a: jnp.ndarray,
     h_a: jnp.ndarray,
@@ -135,6 +139,7 @@ def optimize_weights_nway(
     return jnp.where(ok, w, w_fixed)
 
 
+@highprec
 def fuse_nway(
     cov_own: jnp.ndarray,
     h_own: jnp.ndarray,
@@ -157,6 +162,7 @@ def fuse_nway(
     return s, 1.0 / w0
 
 
+@highprec
 def apply_ci(
     cov: jnp.ndarray,
     ci_cov: jnp.ndarray,

@@ -301,6 +301,7 @@ def _cov_at(params: EkfParams, fs: FilterState, idx) -> jnp.ndarray:
     return propagate_covariance(fs.cov, phi, q_acc)
 
 
+@highprec
 def _repropagate_tail(params: EkfParams, fs: FilterState, idx) -> FilterState:
     """Re-run mean propagation from the (corrected) state at ``idx`` to the
     buffer head (reference Ekf::repropagateFromStateAtIdx, ekf.cpp:227-255).
@@ -325,14 +326,22 @@ def _repropagate_tail(params: EkfParams, fs: FilterState, idx) -> FilterState:
     return dataclasses.replace(fs, buffer=buf)
 
 
-@highprec
 def process_update_aux_impl(
     params: EkfParams, fs: FilterState, meas_time, update_fn, aux
 ):
     """Like :func:`process_update` but threads an auxiliary pytree (e.g.
     track slots) through the update:
     update_fn(core, vision, cov, aux) -> (core, vision, cov, aux).
-    Returns (fs, aux, applied)."""
+    Returns (fs, aux, applied).
+
+    Precision note: this wrapper is deliberately NOT under ``highprec``.
+    Every covariance-algebra routine it reaches (_cov_at, _apply_rows,
+    sm.manage, feature init, CI fusion, propagate_covariance) carries its
+    own ``highprec`` decoration; measurement-model builders (Jacobians, GN
+    triangulation, track bookkeeping) run at default matmul precision —
+    their ~1e-5-relative rounding perturbs only the linearization point,
+    not covariance PSD-ness, and the blanket "highest" context cost ~25%
+    of the whole 128-agent step (measured round 5)."""
     b = params.dims.buffer_size
     times = rb.times(fs.buffer)
     idx = rb.closest_idx(times, jnp.asarray(meas_time, fs.cov.dtype), params.time_margin)
@@ -363,7 +372,6 @@ process_update_aux = jax.jit(process_update_aux_impl, static_argnums=(0, 3))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
-@highprec
 def process_update(
     params: EkfParams, fs: FilterState, meas_time, update_fn: UpdateFn
 ) -> Tuple[FilterState, jnp.ndarray]:

@@ -69,6 +69,26 @@ def solve3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return num / safe[..., None]
 
 
+def inv3(a: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate over determinant), batched.
+
+    ``jnp.linalg.inv`` on tiny batched matrices lowers to an LU custom
+    call (~1.5 ms/frame for (128,15,3,3) in the feature-init path of the
+    device trace); three cross products do the same work in a handful of
+    fused vector ops."""
+    a0, a1, a2 = a[..., :, 0], a[..., :, 1], a[..., :, 2]
+    c0 = jnp.cross(a1, a2)
+    c1 = jnp.cross(a2, a0)
+    c2 = jnp.cross(a0, a1)
+    det = jnp.sum(a0 * c0, axis=-1)
+    safe = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    # rows of A^-1 are c0/det, c1/det, c2/det
+    return jnp.stack([c0, c1, c2], axis=-2) / safe[..., None, None]
+
+
+@highprec  # the left-nullspace projection must be exact: bf16-pass dots
+# leave O(1e-3) feature-direction leakage in h0, and the unmodeled
+# triangulation error then enters the stacked update at 1/sigma^2 weight
 def householder_qt(hf: jnp.ndarray, *mats):
     """Apply Q^T (from the QR of the (r, 3) matrix ``hf``) to each matrix
     in ``mats`` via three explicit Householder reflections.
@@ -268,6 +288,12 @@ def spd_solve_chol(s: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return tri_solve_upper_t(l, tri_solve_lower(l, b))
 
 
+def _jacobi_scale(s: jnp.ndarray):
+    """Symmetric Jacobi equilibration scale for SPD ``s`` (diag >= 0)."""
+    d = jnp.diagonal(s, axis1=-2, axis2=-1)
+    return 1.0 / jnp.sqrt(jnp.maximum(d, 1e-30))
+
+
 def inv_spd_newton(s: jnp.ndarray, max_iter: int = 48,
                    tol: float = 3e-6) -> jnp.ndarray:
     """Approximate S^-1 for SPD ``s`` by Newton-Schulz iteration.
@@ -290,8 +316,16 @@ def inv_spd_newton(s: jnp.ndarray, max_iter: int = 48,
     n = s.shape[-1]
     dtype = s.dtype
     eye = jnp.eye(n, dtype=dtype)
-    lam_ub = jnp.max(jnp.sum(jnp.abs(s), axis=-1), axis=-1)  # Gershgorin, (...)
-    alpha = 2.0 / (1.0 + lam_ub)  # our S is >= I; harmless otherwise
+    # symmetric Jacobi equilibration (exact outer rescale, undone on
+    # return): NS iteration count is ~log2(kappa) + 5, and the whitened
+    # innovation S = I + H P H^T mixes O(1) rows with O(1e4) informative
+    # rows — equilibration moves that spread out of the spectrum, saving
+    # ~1/3 of the iterations (measured in the 128-agent step trace, where
+    # this loop was the single largest item at 5.1 ms/step).
+    ds = _jacobi_scale(s)
+    s_eq = s * ds[..., :, None] * ds[..., None, :]
+    lam_ub = jnp.max(jnp.sum(jnp.abs(s_eq), axis=-1), axis=-1)  # Gershgorin
+    alpha = 2.0 / (1.0 + lam_ub)
     x0 = jnp.broadcast_to(alpha[..., None, None] * eye, s.shape)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
@@ -304,26 +338,45 @@ def inv_spd_newton(s: jnp.ndarray, max_iter: int = 48,
 
     def body(carry):
         x, it, resid, _ = carry
-        e = eye - s @ x
-        x = x + x @ e  # = x (2I - s x)
+        # two NS steps per loop trip: the residual reduce + condition sync
+        # cost about as much as an iteration's matmuls at fleet batch
+        # sizes, so checking every other step halves that overhead at the
+        # price of <= 1 overshoot iteration
+        e = eye - s_eq @ x
+        x = x + x @ e  # = x (2I - s_eq x)
+        e = eye - s_eq @ x
+        x = x + x @ e
         r = jnp.max(jnp.sqrt(jnp.sum(e * e, axis=(-2, -1))))
-        return x, it + 1, r / jnp.sqrt(jnp.asarray(n, dtype)), resid
+        return x, it + 2, r / jnp.sqrt(jnp.asarray(n, dtype)), resid
 
-    x, _, _, _ = jax.lax.while_loop(
-        cond, body,
-        (x0, jnp.asarray(0, jnp.int32), big * jnp.asarray(0.5, dtype), big),
-    )
-    return x
+    # The iteration runs at HIGH (bf16x3) matmul precision even when the
+    # caller is under highprec ("highest", bf16x6): the refinement sweeps
+    # in spd_solve contract the final solve by ||I - S X|| per sweep, so
+    # X only needs ~1e-4-level accuracy — but a fully-DEFAULT (single
+    # bf16 pass) loop was tried and stalls at too coarse a residual on
+    # rare ill-conditioned agents (1/512 covariance blow-up to NaN on
+    # TPU, bisected round 5); bf16x3 keeps the stall floor ~1e-6 at half
+    # the cost of "highest".
+    with jax.default_matmul_precision("high"):
+        x, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (x0, jnp.asarray(0, jnp.int32), big * jnp.asarray(0.5, dtype), big),
+        )
+    return x * ds[..., :, None] * ds[..., None, :]
 
 
 def spd_solve(s: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """S^-1 b for SPD ``s``: Newton-Schulz approximate inverse + two
-    iterative-refinement sweeps on the solve itself.
+    """S^-1 b for SPD ``s``: fixed-count Newton-Schulz approximate inverse
+    + three iterative-refinement sweeps on the solve itself.
 
-    Refinement contracts the solve residual by ||I - S X|| per sweep, so
-    an X accurate to ~1e-4 yields a solve at f32 roundoff — matching the
-    Cholesky path (:func:`spd_solve_chol`, kept as the oracle) at a tiny
-    fraction of its HLO count.
+    The adaptive while loop beats a fixed unrolled count here (measured
+    both ways in the 128-agent step trace: fixed-22 cost 4x more — the
+    common frame converges in far fewer iterations and the early exit
+    pays for its condition sync at these sizes). Refinement contracts the
+    solve residual by ||I - S X|| per sweep, so an X accurate to ~1e-4
+    yields a solve at f32 roundoff — matching the Cholesky path
+    (:func:`spd_solve_chol`, kept as the oracle) at a tiny fraction of
+    its HLO count.
     """
     x = inv_spd_newton(s)
     y = x @ b
@@ -437,10 +490,15 @@ def mahalanobis_gamma(
         ) / det
     if r == 3:
         return res @ solve3(s, res)
-    # r > 3: Newton-Schulz solve (S >= I here too) — the unrolled-Cholesky
-    # forward substitution (_gamma_chol_unrolled, kept as the oracle) costs
-    # ~50 HLOs per unrolled row, i.e. ~900 small sequential ops at the
-    # MSCKF row count, in EVERY builder
+    # r > 3: adaptive Newton-Schulz solve (S >= I here too) — the
+    # unrolled-Cholesky forward substitution (_gamma_chol_unrolled, kept as
+    # the oracle) costs ~50 HLOs per unrolled row, i.e. ~900 small
+    # sequential ops at the MSCKF row count, in EVERY builder. A
+    # fixed-count NS (no while) was tried and is 6x SLOWER here: 27x27
+    # batched matmuls run at ~1/16 MXU tile occupancy (~50 us each), so
+    # paying worst-case iterations always loses to the adaptive early
+    # exit, and fewer fixed iterations mis-gate strongly-informative
+    # tracks (kappa ~ 1e6; tests/test_linalg.py ill-conditioned case).
     return res @ spd_solve(s, res[:, None])[:, 0]
 
 

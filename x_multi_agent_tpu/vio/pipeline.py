@@ -50,6 +50,13 @@ class VioConfig(NamedTuple):
     sigma_rho_0: float = 0.25
     min_track_length: int = 15
     iekf_iter: int = 1
+    # GN-triangulation iteration cap. The reference default is 10 with the
+    # same early-termination test (msckf_update.h:93-96); measured
+    # convergence on sim data is 2-4 steps, and each unrolled step is ~200
+    # sequential HLOs in every triangulating builder, so 5 halves the
+    # dominant sequential-op chain of the stacked update at no measured
+    # accuracy cost (the termination flag freezes converged tracks).
+    tri_max_iter: int = 5
     msckf_baseline_x_n: float = 0.02
     msckf_baseline_y_n: float = 0.02
     # Hesch observability-constrained projection in MSCKF rows
@@ -57,6 +64,13 @@ class VioConfig(NamedTuple):
     # synthetic data it lets yaw random-walk (by design); turning it off
     # tightens ATE there.
     obs_constrained: bool = True
+    # Static sensor gates: deployments without an LRF / sun sensor compile
+    # the facet search + range/solar row builders out of the per-frame
+    # program entirely (the reference's runtime activation flags,
+    # vio.cpp:343-370, made static for XLA). Leave True to accept
+    # measurements through FrameMeasurement.range_active / sun_active.
+    enable_range: bool = True
+    enable_sun: bool = True
 
 
 class FrameMeasurement(NamedTuple):
@@ -148,11 +162,19 @@ def _stack_rows(*rows_list):
     return jac, res, std
 
 
+@linalg.highprec
 def _apply_rows(cov, jac, res, std, correction_total, cov_update=True):
-    """Whiten -> (QR-compress if overdetermined) -> Kalman update."""
+    """Whiten -> (QR-compress if strongly overdetermined) -> Kalman update.
+
+    Compression threshold is 2D, not D+1: the Gram/Cholesky compression
+    costs a batched (D+1)-Cholesky custom call (~3.4 ms/frame at 128
+    agents on v5e), while the direct S-form Kalman update scales as the
+    row count's square in cheap MXU matmuls — for row counts up to ~2D
+    the direct form is strictly faster (the short-MSCKF stack lands
+    here)."""
     d = cov.shape[0]
     hw, rw = linalg.whiten(jac, res, std)
-    if jac.shape[0] > d + 1:
+    if jac.shape[0] > 2 * d:
         hw, rw = linalg.qr_compress(jac, res, std)
     corr, cov1 = linalg.kalman_update(cov, hw, rw, correction_total)
     if not cov_update:
@@ -274,6 +296,7 @@ def visual_update(
         cov,
         cfg.sigma_img,
         n,
+        max_iter=cfg.tri_max_iter,
         oc=cfg.obs_constrained,
     )
     have_short = frame.short_valid.any()
@@ -330,9 +353,17 @@ def visual_update(
             k_ms = frame.msckf_obs.shape[0]
             all_obs = jnp.concatenate([frame.msckf_obs, frame.new_obs], axis=0)
             all_mask = jnp.concatenate([frame.msckf_mask, new_mask_ms], axis=0)
-            ivd_all, anchor_all = jax.vmap(
-                lambda o, mk: triangulate_gn(o, mk, vision.q_arr, vision.p_arr)
-            )(all_obs, all_mask)
+            ivd_all, anchor_all = linalg.highprec(jax.vmap(
+                lambda o, mk: triangulate_gn(
+                    o, mk, vision.q_arr, vision.p_arr,
+                    max_iter=cfg.tri_max_iter,
+                )
+            ))(all_obs, all_mask)
+            # ^ highprec: triangulation error is NOT benign here — the
+            # chain seeds MSCKF-SLAM feature inits (fixed_tri), and
+            # bf16-pass DLT/GN on low-parallax image tracks produced
+            # landmark inits bad enough to blow the f32 covariance up at
+            # 64-agent image-path load (bisected round 5)
             world_ms = jax.vmap(
                 lambda f, a: ivd_to_world(f, vision.q_arr[a], vision.p_arr[a])
             )(ivd_all[:k_ms], anchor_all[:k_ms])
@@ -362,25 +393,30 @@ def visual_update(
             slam_z, slam_has_obs, jnp.minimum(slam_len, m), cov,
             cur_pose_idx, cfg.sigma_img,
         )
-        # LRF facet: Delaunay-equivalent triangle of SLAM features around
-        # the LRF image point (range_facet.py)
-        from .range_facet import feature_triangle_at_point
+        rows_list = [msckf_rows, mslam_rows, slam_rows]
+        if cfg.enable_range:
+            # LRF facet: Delaunay-equivalent triangle of SLAM features
+            # around the LRF image point (range_facet.py)
+            from .range_facet import feature_triangle_at_point
 
-        facet_ids, facet_found = feature_triangle_at_point(
-            slam_z, slam_has_obs, meas.range_img_pt
-        )
-        lrf_rows = range_upd.build(
-            meas.range_value, meas.range_img_pt, facet_ids,
-            vision.f_arr, vision.anchor_idx, vision.q_arr, vision.p_arr,
-            cov, cur_pose_idx, cfg.sigma_range,
-            meas.range_active & facet_found,
-        )
-        sns_rows = solar.build(
-            meas.sun_angles, core.q, cov, meas.sun_active,
-        )
-        jac, res, std = _stack_rows(
-            msckf_rows, mslam_rows, slam_rows, lrf_rows, sns_rows
-        )
+            facet_ids, facet_found = feature_triangle_at_point(
+                slam_z, slam_has_obs, meas.range_img_pt
+            )
+            lrf_rows = range_upd.build(
+                meas.range_value, meas.range_img_pt, facet_ids,
+                vision.f_arr, vision.anchor_idx, vision.q_arr, vision.p_arr,
+                cov, cur_pose_idx, cfg.sigma_range,
+                meas.range_active & facet_found,
+            )
+            rows_list.append(lrf_rows)
+        else:
+            facet_ids = jnp.full((3,), -1, jnp.int32)
+            facet_found = jnp.asarray(False)
+        if cfg.enable_sun:
+            rows_list.append(solar.build(
+                meas.sun_angles, core.q, cov, meas.sun_active,
+            ))
+        jac, res, std = _stack_rows(*rows_list)
         have_any = jnp.any(res != 0.0) | jnp.any(jac != 0.0)
         is_last = it == cfg.iekf_iter - 1
 

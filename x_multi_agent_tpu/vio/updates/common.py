@@ -37,15 +37,16 @@ def projection_blocks(pt_cam: jnp.ndarray, dtype=None):
     zs = jnp.where(jnp.abs(z) > 1e-12, z, 1.0)
     inv_z = 1.0 / zs
     pred = pt_cam[:2] * inv_z
-    j_i = jnp.array(
+    # built in one stack — an .at[i, j].set on a tiny matrix inside a
+    # vmapped builder lowers to a full-batch dynamic-update-slice
+    # (~0.2 ms/frame each at 128 agents in the device trace)
+    zero = jnp.zeros((), dtype)
+    j_i = jnp.stack(
         [
-            [1.0, 0.0, 0.0],
-            [0.0, 1.0, 0.0],
-        ],
-        dtype,
-    ) * inv_z
-    j_i = j_i.at[0, 2].set(-pt_cam[0] * inv_z * inv_z)
-    j_i = j_i.at[1, 2].set(-pt_cam[1] * inv_z * inv_z)
+            jnp.stack([inv_z, zero, -pt_cam[0] * inv_z * inv_z]),
+            jnp.stack([zero, inv_z, -pt_cam[1] * inv_z * inv_z]),
+        ]
+    ).astype(dtype)
     return j_i, pred, ok
 
 

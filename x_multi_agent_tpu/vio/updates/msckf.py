@@ -81,6 +81,12 @@ def _assemble_h(j_pos, j_att, m: int, n: int, dtype):
     return h.reshape(2 * m, 15 + 6 * m + 3 * n)
 
 
+@linalg.highprec  # residual precision: pred = z(g_p_f; pose) runs through
+# 3x3 matvec dots, and bf16-pass rounding (~1e-3 relative) exceeds
+# sigma_img-level measurement noise — the filter then runs overconfident
+# and the f32 covariance blows up to NaN within ~30 frames on TPU
+# (bisected round 5). All three stacked-row builders and the shared
+# GN-triangulation chain (it seeds MSCKF-SLAM inits) run at "highest".
 def build(
     obs: jnp.ndarray,  # (K, M, 2) normalized coords, window-aligned
     mask: jnp.ndarray,  # (K, M) bool

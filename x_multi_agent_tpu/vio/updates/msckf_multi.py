@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from ...ekf import ci as ci_mod
 from ...ekf.state import StateDims, correct_core, correct_vision
+from ...ops.linalg import highprec
 from ...ops import linalg, triangulation
 from ...utils.chi2 import chi2_gate
 from ..updates.msckf import _assemble_h, _obs_jacobians, GRAVITY
@@ -55,6 +56,7 @@ def _participant_rows(g_p_f, obs, mask, q_arr, p_arr, g_vec, n_features, oc, dty
     return h_t[:3], hf_t[:3], res_t[:3], finite
 
 
+@highprec
 def apply_joint_msckf_ci_pairs(
     dims: StateDims,
     core,
@@ -207,6 +209,7 @@ def apply_joint_msckf_ci_pairs(
     return core, vision, cov, n_app
 
 
+@highprec
 def apply_joint_msckf_ci(
     dims: StateDims,
     core,

@@ -34,6 +34,7 @@ class MsckfSlamInit(NamedTuple):
     anchor: jnp.ndarray  # (K,) int32 anchor window index
 
 
+@linalg.highprec  # residual precision (see msckf.build note)
 def build(
     obs: jnp.ndarray,  # (K, M, 2)
     mask: jnp.ndarray,  # (K, M) — last valid obs must be the current pose

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ...ekf import ci as ci_mod
 from ...ekf.state import StateDims, VisionState, correct_core, correct_vision
+from ...ops.linalg import highprec
 from ...ops import lie, linalg
 from ...utils.chi2 import chi2_gate
 
@@ -54,6 +55,7 @@ def _scatter_rows(d, m, anchor, feat_id, j_pos, j_att, hf, dtype):
     return h
 
 
+@highprec
 def apply_matches_pairs(
     dims: StateDims,
     core,

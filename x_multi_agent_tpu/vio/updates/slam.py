@@ -19,6 +19,7 @@ from ...utils.chi2 import chi2_gate
 from .common import UpdateRows, feature_col, pose_att_col, pose_pos_col, projection_blocks, scatter_block
 
 
+@linalg.highprec  # residual precision (see msckf.build note)
 def build(
     f_arr: jnp.ndarray,  # (N, 3) inverse-depth (alpha, beta, rho)
     anchor_idx: jnp.ndarray,  # (N,) int32 window index of anchor pose
