@@ -539,7 +539,7 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--degraded", type=int, default=1, help="degraded agent index")
     ap.add_argument("--out", type=str,
-                    default=os.path.join(REPO, "ATE_REPORT_r04.json"))
+                    default=os.path.join(REPO, "ATE_REPORT_r05.json"))
     ap.add_argument("--vocab", choices=["thermal", "random"], default="thermal")
     ap.add_argument("--solo-only", action="store_true",
                     help="run/refresh the solo passes and exit")

@@ -39,9 +39,19 @@ def make_circle_sim(
     pixel_noise: float = 0.0,
     seed: int = 0,
     g: float = -9.81,
+    phase: float = 0.0,
+    lm_window: "tuple[int, int] | None" = None,
 ) -> SimData:
     """Level circular trajectory, identity attitude, landmarks on a wall at
-    z = 5..9 m in front of the (z-forward) camera."""
+    z = 5..9 m in front of the (z-forward) camera.
+
+    ``phase`` offsets the trajectory angle (distinct per-agent paths over
+    the SAME world; initial velocity becomes r*omega*[cos(phase),
+    sin(phase), 0]). ``lm_window=(lo, hi)`` restricts this agent's visible
+    landmarks to ids [lo, hi) — partial scene overlap between agents with
+    shifted windows (landmark ids stay GLOBAL so cross-agent GT matching
+    remains meaningful). The landmark SET is a function of ``seed`` only.
+    """
     rng = np.random.default_rng(seed)
 
     lm = np.stack(
@@ -54,16 +64,22 @@ def make_circle_sim(
     )
 
     def pos(t):
+        a = omega * t + phase
         return np.stack(
-            [radius * np.sin(omega * t), radius * (1 - np.cos(omega * t)), 0 * t],
+            [
+                radius * (np.sin(a) - np.sin(phase)),
+                radius * (np.cos(phase) - np.cos(a)),
+                0 * t,
+            ],
             axis=-1,
         )
 
     def acc(t):
+        a = omega * t + phase
         return np.stack(
             [
-                -radius * omega**2 * np.sin(omega * t),
-                radius * omega**2 * np.cos(omega * t),
+                -radius * omega**2 * np.sin(a),
+                radius * omega**2 * np.cos(a),
                 0 * t,
             ],
             axis=-1,
@@ -90,15 +106,19 @@ def make_circle_sim(
     match_cur = np.zeros((n_cam, j, 2))
     match_valid = np.zeros((n_cam, j), bool)
 
+    lo, hi = (0, n_landmarks) if lm_window is None else lm_window
+    lo, hi = max(0, lo), min(n_landmarks, hi)
+    vis_ids = np.arange(lo, hi)
+
     prev_proj = project(pos(np.array([0.0]))[0])
     for f in range(n_cam):
         cur_proj = project(cam_p[f])
-        nn = min(n_landmarks, j)
+        nn = min(len(vis_ids), j)
         noise = pixel_noise * rng.standard_normal((nn, 2)) if pixel_noise else 0.0
         noise_p = pixel_noise * rng.standard_normal((nn, 2)) if pixel_noise else 0.0
-        match_id[f, :nn] = np.arange(nn)
-        match_prev[f, :nn] = prev_proj[:nn] + noise_p
-        match_cur[f, :nn] = cur_proj[:nn] + noise
+        match_id[f, :nn] = vis_ids[:nn]
+        match_prev[f, :nn] = prev_proj[vis_ids[:nn]] + noise_p
+        match_cur[f, :nn] = cur_proj[vis_ids[:nn]] + noise
         match_valid[f, :nn] = True
         prev_proj = cur_proj
 
