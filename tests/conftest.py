@@ -72,24 +72,4 @@ def _clear_jax_caches_between_modules():
     jax.clear_caches()
 
 
-@pytest.fixture
-def no_compile_cache():
-    """Disable the persistent compile cache for one test.
 
-    Deserializing ONE specific cached executable (the nested
-    store-roundtrip program) segfaults in jax's
-    compilation_cache.get_executable_and_time on the forced-multi-device
-    CPU backend (jaxlib bug; reproduced deterministically). Tests that
-    trip it opt out of the cache instead of the whole suite losing it.
-
-    NOTE: updating the config alone is not enough — jax latches
-    ``_cache_used`` on first check, so ``reset_cache()`` must be called to
-    make the change effective mid-process.
-    """
-    from jax._src import compilation_cache as _cc
-
-    jax.config.update("jax_compilation_cache_dir", None)
-    _cc.reset_cache()
-    yield
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _cc.reset_cache()

@@ -159,7 +159,7 @@ def test_upgrade_and_discard(rng):
 
 
 @pytest.mark.slow
-def test_two_agent_store_roundtrip(rng, no_compile_cache):
+def test_two_agent_store_roundtrip(rng):
     """End-to-end: B records matches against A's payload while its tracks
     are opportunistic; as the tracks mature into MSCKF rows the stored
     matches are consumed by joint CI inside the visual update."""

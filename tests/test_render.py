@@ -78,7 +78,7 @@ def _run_debug_frames(n_frames=25):
     return v, sim
 
 
-def test_frame_debug_and_accessors(no_compile_cache):
+def test_frame_debug_and_accessors():
     v, sim = _run_debug_frames()
     d = v.last_debug
     assert d is not None
