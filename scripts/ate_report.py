@@ -334,7 +334,7 @@ def _restore_agent(v, state):
 def replay(agents, metas, exchange: bool, log_every: int = 10,
            exchange_every: int = 10, trace_path: str = None,
            max_frames: int = None, ckpt_path: str = None,
-           ckpt_every: int = 100):
+           ckpt_every: int = 100, outage=None):
     """Interleaved frame-by-frame replay with periodic exchange rounds.
 
     ``ckpt_path``: pickle the full replay state every ``ckpt_every``
@@ -402,7 +402,13 @@ def replay(agents, metas, exchange: bool, log_every: int = 10,
                 v.process_imu_batch(
                     d.imu_t[i:j], np.arange(i, j), d.imu_w[i:j], d.imu_a[i:j]
                 )
-            v.process_image_measurement(t_cam, f, imgs[a][f])
+            img_f = imgs[a][f]
+            if outage is not None and outage[0] <= f < outage[1]:
+                # total sensor outage window (camera blackout): the
+                # harsh-recovery artifact drives the health monitor's
+                # starved-frame gate + re-init end-to-end
+                img_f = np.zeros_like(img_f)
+            v.process_image_measurement(t_cam, f, img_f)
             n_reinit[a] = getattr(v, "n_reinits", 0)
             p_est = np.asarray(v.tail_state().p)
             p_gt = m["cam_p"][f]

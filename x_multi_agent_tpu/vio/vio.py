@@ -210,11 +210,18 @@ class VIO:
             (starved geometry produces outlier-dominated updates);
           * a frame is UNHEALTHY when it was update-gated, the update was
             dropped, the state went non-finite, or trace(P_pp) exceeds
-            ``cov_pos_max``;
+            ``cov_pos_max`` *without shrinking* (a large-but-contracting
+            covariance is a filter actively RECOVERING — flagging it
+            re-triggered re-init every max_bad frames after a long sensor
+            outage, wiping the rebuilding SLAM map each time: measured
+            runaway 68 m -> 1500 m with 23 re-inits, round 5);
           * ``max_bad_frames`` consecutive unhealthy frames trigger
             re-initialization from the current tail estimate, carrying
             the core covariance over (vision state + track slots reset;
-            the tracker and photometric chain keep running).
+            the tracker and photometric chain keep running);
+          * each re-init opens a ``2 * max_bad_frames`` grace window in
+            which bad frames don't accumulate, so the fresh map gets a
+            chance to pull the covariance down before the next verdict.
         """
         self._health = dict(
             min_matches=int(min_matches),
@@ -222,17 +229,46 @@ class VIO:
             cov_pos_max=cov_pos_max,
         )
         self._bad_frames = 0
+        self._grace = 0
+        self._last_cov_tr = None
 
     def _reinit_from_current(self):
         """Re-init at the current tail estimate (reference ``initAtTime``
         semantics: fresh vision state; filter re-enters standby and
-        resumes on the next IMU sample)."""
+        resumes on the next IMU sample).
+
+        Escalation: a SECOND re-init shortly after the first means the
+        carried state is beyond the EKF's basin of attraction (after a
+        long IMU-only outage the velocity/attitude estimate can be off by
+        orders of magnitude — updates then linearize so far from truth
+        that they push the error further out; measured 71 m -> 2500 m
+        post-outage WITH matches flowing). The escalated re-init zeroes
+        the dynamic states (v, biases) and opens a wide prior on them so
+        vision can re-acquire from scratch — beyond reference parity
+        (initAtTime is operator-driven and always carries the state).
+        """
         core = self.tail_state()
         vals = {
             k: np.asarray(getattr(core, k))
             for k in ("p", "v", "q", "b_w", "b_a")
         }
         core_cov = np.asarray(self.fs.cov[:15, :15])
+        hard = getattr(self, "_reinit_streak", 0) >= 1
+        if hard:
+            # keep position/attitude (vision re-anchors relative to them)
+            # but drop the runaway dynamics
+            vals["v"] = np.zeros(3)
+            vals["b_w"] = np.zeros(3)
+            vals["b_a"] = np.zeros(3)
+            init = np.asarray(make_initial_covariance(self.params))[:15, :15]
+            core_cov = init.copy()
+            # wide dynamic prior: the true velocity is unknown at this
+            # point — sigma must cover plausible vehicle speed
+            core_cov[3:6, 3:6] = np.eye(3) * 3.0**2
+            core_cov[6:9, 6:9] = np.maximum(
+                core_cov[6:9, 6:9], np.eye(3) * 0.3**2
+            )
+        self._reinit_streak = getattr(self, "_reinit_streak", 0) + 1
         finite = all(np.isfinite(v).all() for v in vals.values())
         if not finite:
             # state itself is garbage: restart clean at the same time
@@ -276,10 +312,27 @@ class VIO:
             healthy = bool(np.isfinite(p).all())
         if healthy and h["cov_pos_max"] is not None:
             tr = float(np.trace(np.asarray(self.fs.cov[:3, :3])))
-            healthy = bool(np.isfinite(tr)) and tr < h["cov_pos_max"]
+            last = getattr(self, "_last_cov_tr", None)
+            shrinking = last is not None and tr < 0.98 * last
+            healthy = bool(np.isfinite(tr)) and (
+                tr < h["cov_pos_max"] or shrinking
+            )
+            self._last_cov_tr = tr if np.isfinite(tr) else None
+        # a sustained healthy run clears the re-init escalation streak
+        self._healthy_frames = (
+            getattr(self, "_healthy_frames", 0) + 1 if healthy else 0
+        )
+        if self._healthy_frames >= 2 * h["max_bad"]:
+            self._reinit_streak = 0
+        if getattr(self, "_grace", 0) > 0:
+            self._grace -= 1
+            if healthy:
+                self._bad_frames = 0
+            return
         self._bad_frames = 0 if healthy else self._bad_frames + 1
         if self._bad_frames >= h["max_bad"]:
             self._reinit_from_current()
+            self._grace = 2 * h["max_bad"]
 
     # -- IMU ----------------------------------------------------------------
 
