@@ -394,6 +394,18 @@ class VIO:
         tracking (one-frame lag, like the reference's detached refinement
         thread); gains update from matched-feature intensities.
 
+        ``spatial`` defaults OFF by measurement (round 5,
+        scripts/photometric_ablation.py): even on a spatially-DOMINANT
+        static vignette (0.30, no gain drift) the per-cell path is net
+        harmful — solo ATE 0.70 m vs 0.088 m global-only vs 0.046 m with
+        no correction at all. A STATIC spatial field cancels out of
+        frame-to-frame LK (both frames share it), so per-cell correction
+        has nothing to fix and only injects its estimation noise into the
+        tracker's images; only TEMPORAL gain changes (drift) need online
+        correction, and the global gain handles those. The machinery
+        stays available and unit/e2e-tested for sensors with
+        time-varying spatial response (irPhotoCalib.cpp:314-406).
+
         ``spatial=True`` additionally solves per-cell spatial offsets from
         the gain-corrected matched-intensity residuals every
         ``spatial_every`` frames (reference's detached spatial thread,
