@@ -230,3 +230,68 @@ def make_more_frames(vb, sim, t0, desc_table, ccfg, store):
         )
         n_total += int(np.array(n_collab))
     return vb, store, n_total
+
+
+def test_record_gt_three_type_classification(rng):
+    """GT_DEBUG breadth (place_recognition.cpp:387-517): id-equality
+    classification must emit the same three match types as the descriptor
+    path — own-OPP x peer-collab -> PEER_COLLAB, own-OPP x peer-SLAM ->
+    PEER_SLAM — and feed the SAME upgrade machinery deterministically."""
+    import dataclasses
+
+    slots, _ = _slots_with_opp(rng, n_opp_active=4)  # own ids 100..103
+    collab_desc = rng.integers(0, 256, (4, 32)).astype(np.uint8)
+    slam_desc = rng.integers(0, 256, (TRACKS.n_slam, 32)).astype(np.uint8)
+    payload = _payload(rng, collab_desc, slam_desc)
+    # peer ids: collab track 2 shares landmark id 100 with our opp 100;
+    # peer SLAM feature 3 shares id 102; id 555 matches nothing of ours
+    trk_id = np.full(4, -1, np.int32)
+    trk_id[2] = 100
+    trk_id[0] = 555
+    slam_id = np.full(TRACKS.n_slam, -1, np.int32)
+    slam_id[3] = 102
+    payload = dataclasses.replace(
+        payload, trk_id=jnp.asarray(trk_id), slam_id=jnp.asarray(slam_id)
+    )
+
+    store = ms.MatchStore.zero(DIMS, SDIMS, n_collab_tracks=4, dtype=jnp.float64)
+    store = ms.record_gt(store, slots, payload, 7)
+
+    own_ids = np.array(store.own_id)
+    assert 100 in own_ids and 102 in own_ids
+    assert int(np.sum(own_ids >= 0)) == 2  # nothing spurious
+    r0 = int(np.argmax(own_ids == 100))
+    r2 = int(np.argmax(own_ids == 102))
+    assert int(store.peer_type[r0]) == ms.PEER_COLLAB
+    assert int(store.peer_idx[r0]) == 2
+    assert int(store.peer_type[r2]) == ms.PEER_SLAM
+    assert int(store.peer_idx[r2]) == 3
+
+    # dedup on re-record
+    store2 = ms.record_gt(store, slots, payload, 7)
+    assert int(np.sum(np.array(store2.own_id) >= 0)) == 2
+
+    # the stored GT matches drive the SAME upgrade machinery: own 100
+    # selected as MSCKF this frame -> joint-MSCKF work; own 102 promoted
+    # to SLAM slot 1 -> SLAM-SLAM upgrade
+    frame = _empty_frame()
+    frame = dataclasses.replace(
+        frame,
+        msckf_id=frame.msckf_id.at[0].set(100),
+        msckf_valid=frame.msckf_valid.at[0].set(True),
+    )
+    slam_id_own = np.array(slots.slam_id)
+    slam_id_own[1] = 102
+    opp_id = np.array(slots.opp_id)
+    opp_id[opp_id == 100] = -1
+    opp_id[opp_id == 102] = -1
+    slots2 = dataclasses.replace(
+        slots, slam_id=jnp.asarray(slam_id_own), opp_id=jnp.asarray(opp_id)
+    )
+    _, work = ms.update_and_harvest(store, slots2, frame, SDIMS.max_peers)
+    assert bool(work.msckf_matched[0, 0])
+    assert int(store.own_id[int(work.msckf_rows[0, 0])]) == 100
+    sl = np.array(work.slam_matched)
+    assert sl.any()
+    assert int(store.own_id[int(np.argmax(sl))]) == 102
+    assert int(work.slam_own_idx[int(np.argmax(sl))]) == 1

@@ -355,6 +355,8 @@ def extract_payload_desc(
         trk_desc=slots.opp_desc[sel],
         trk_desc_valid=sel_valid,
         n_collab_tracks=n_collab_tracks,
+        trk_id=jnp.where(sel_valid, slots.opp_id[sel], -1),
+        slam_id=slots.slam_id,
     )
 
 

@@ -120,21 +120,8 @@ def record(
 
     q = store.own_id.shape[0]
 
-    # write the payload into the ring
     slot = store.pay_head
-    pay = jax.tree.map(
-        lambda buf, x: buf.at[slot].set(jnp.where(store_when, x, buf[slot])),
-        store.pay, payload,
-    )
-    pay_uav = store.pay_uav.at[slot].set(
-        jnp.where(store_when, jnp.asarray(uav_id, jnp.int32), store.pay_uav[slot])
-    )
-    pay_valid = store.pay_valid.at[slot].set(
-        jnp.where(store_when, True, store.pay_valid[slot])
-    )
-    # invalidate matches that referenced the overwritten snapshot
-    stale = (store.pay_slot == slot) & (store.own_id >= 0) & store_when
-    own_id0 = jnp.where(stale, -1, store.own_id)
+    own_id0 = _stale_own_ids(store, slot, store_when)
 
     # own OPP tracks vs the peer's collaborative track set
     c_idx, c_ok = knn2_match(
@@ -186,6 +173,87 @@ def record(
             own_pts, peer_pts, cand_ok, key, ransac_thr
         )
         cand_ok = cand_ok & inl
+
+    return _merge_candidates(
+        store, payload, uav_id, own_id0, cand_id, cand_type, cand_idx,
+        cand_ok, store_when,
+    )
+
+
+def _stale_own_ids(store: MatchStore, slot, store_when):
+    """Invalidate matches that reference the about-to-be-overwritten
+    payload ring slot; returns the cleaned own_id column."""
+    stale = (store.pay_slot == slot) & (store.own_id >= 0) & store_when
+    return jnp.where(stale, -1, store.own_id)
+
+
+def record_gt(
+    store: MatchStore,
+    slots,  # tm.TrackSlots
+    payload: AgentPayload,
+    uav_id,
+    store_when=True,
+) -> MatchStore:
+    """GT_DEBUG classification of a received payload by track-id equality
+    (reference ``place_recognition.cpp:387-517``: cross-agent matches come
+    from ground-truth landmark proximity; with sim-assigned GLOBAL track
+    ids, id equality is that association made exact). Emits the same
+    three-type match records as the descriptor path:
+
+      * own OPP x peer collaborative track -> PEER_COLLAB (the reference's
+        OPP x MSCKF / OPP x OPP MsckfMatch loops) — upgraded by
+        ``update_and_harvest`` to joint-MSCKF / short-CI work;
+      * own OPP x peer SLAM -> PEER_SLAM (the OppMatch(MatchType::SLAM)
+        loop) — upgraded to SLAM-SLAM on own-track promotion;
+      * own SLAM x peer SLAM is NOT stored (consumed immediately by the
+        caller's landmark fusion, like the reference and the descriptor
+        path).
+    """
+    slot = store.pay_head
+    own_id0 = _stale_own_ids(store, slot, store_when)
+
+    opp_ok = slots.opp_id >= 0
+    # id-equality joins against the peer's track/SLAM id columns
+    c_hit = opp_ok[:, None] & (
+        slots.opp_id[:, None] == payload.trk_id[None, :]
+    ) & (payload.trk_id[None, :] >= 0)
+    s_hit = opp_ok[:, None] & (
+        slots.opp_id[:, None] == payload.slam_id[None, :]
+    ) & (payload.slam_id[None, :] >= 0)
+    c_ok = c_hit.any(axis=1)
+    s_ok = s_hit.any(axis=1) & ~c_ok
+    c_idx = jnp.argmax(c_hit, axis=1).astype(jnp.int32)
+    s_idx = jnp.argmax(s_hit, axis=1).astype(jnp.int32)
+
+    cand_id = slots.opp_id
+    cand_type = jnp.where(c_ok, PEER_COLLAB, PEER_SLAM)
+    cand_idx = jnp.where(c_ok, c_idx, s_idx)
+    cand_ok = (c_ok | s_ok) & store_when
+    return _merge_candidates(
+        store, payload, uav_id, own_id0, cand_id, cand_type, cand_idx,
+        cand_ok, store_when,
+    )
+
+
+def _merge_candidates(
+    store: MatchStore, payload: AgentPayload, uav_id, own_id0,
+    cand_id, cand_type, cand_idx, cand_ok, store_when,
+) -> MatchStore:
+    """Shared tail of record()/record_gt(): payload ring write, dedup
+    against stored (own_id, uav) pairs, rank-compacted scatter into free
+    match rows (place_recognition.cpp:525-577 container merge)."""
+    q = store.own_id.shape[0]
+    slot = store.pay_head
+    pay = jax.tree.map(
+        lambda buf, x: buf.at[slot].set(jnp.where(store_when, x, buf[slot])),
+        store.pay, payload,
+    )
+    pay_uav = store.pay_uav.at[slot].set(
+        jnp.where(store_when, jnp.asarray(uav_id, jnp.int32), store.pay_uav[slot])
+    )
+    pay_valid = store.pay_valid.at[slot].set(
+        jnp.where(store_when, True, store.pay_valid[slot])
+    )
 
     # dedup: drop candidates already stored for the same (own_id, uav)
     dup = (

@@ -64,6 +64,12 @@ class AgentPayload:
     trk_mask: jnp.ndarray  # (Kt, M)
     trk_desc: jnp.ndarray  # (Kt, 32) uint8
     trk_desc_valid: jnp.ndarray  # (Kt,)
+    # stable track/feature ids (-1 invalid): the GT_DEBUG classification
+    # (place_recognition.cpp:387-517) associates cross-agent tracks by
+    # ground-truth landmark identity; with sim-assigned global ids, id
+    # equality IS that association, made exact
+    trk_id: jnp.ndarray  # (Kt,) int32
+    slam_id: jnp.ndarray  # (N,) int32
 
 
 def slam_landmarks_world(dims: StateDims, vision: VisionState):
@@ -130,6 +136,7 @@ def make_payload(
     slam_desc=None, slam_desc_valid=None, slam_obs=None,
     trk_obs=None, trk_mask=None, trk_desc=None, trk_desc_valid=None,
     n_collab_tracks: int = 8,
+    trk_id=None, slam_id=None,
 ) -> AgentPayload:
     lms, valid = slam_landmarks_world(dims, vision)
     n = dims.n_features
@@ -145,6 +152,10 @@ def make_payload(
         trk_mask = jnp.zeros((kt, m), bool)
         trk_desc = jnp.zeros((kt, 32), jnp.uint8)
         trk_desc_valid = jnp.zeros((kt,), bool)
+    if trk_id is None:
+        trk_id = jnp.full((trk_obs.shape[0],), -1, jnp.int32)
+    if slam_id is None:
+        slam_id = jnp.full((n,), -1, jnp.int32)
     return AgentPayload(
         time=jnp.asarray(time, cov.dtype),
         p_arr=vision.p_arr,
@@ -164,4 +175,6 @@ def make_payload(
         trk_mask=trk_mask,
         trk_desc=trk_desc,
         trk_desc_valid=trk_desc_valid,
+        trk_id=trk_id,
+        slam_id=slam_id,
     )

@@ -7,6 +7,15 @@ test harness for the collaborative back-end (SURVEY §4.2).
 
 TPU form: all-gathered landmark tables -> pairwise distance matrix ->
 mutual-nearest-neighbor + radius gate, emitted into fixed match budgets.
+
+Breadth note (round 5): this module covers the SLAM-SLAM loop of the
+reference's GT classification; the OPP-side loops (own-OPP x peer
+MSCKF/OPP -> MsckfMatch, own-OPP x peer SLAM -> OppMatch,
+place_recognition.cpp:436-517) are `parallel.match_store.record_gt` —
+id-equality classification feeding the same stored-match upgrade
+machinery as the descriptor path, so GT mode exercises the stored
+MSCKF/short-CI/SLAM-upgrade paths deterministically
+(tests/test_match_store.py::test_record_gt_three_type_classification).
 """
 from __future__ import annotations
 
