@@ -169,3 +169,112 @@ def test_solar_update_zero_residual_and_fd(rng):
         qm = np.array(lie.quat_multiply(jnp.asarray(q_imu), jnp.asarray(dqm)))
         g = (pred(qp) - pred(qm)) / (2 * eps)
         np.testing.assert_allclose(g, jac[:, axis], rtol=1e-6, atol=1e-7)
+
+
+def test_per_feature_range_jacobian_finite_difference(rng):
+    """Per-feature LRF variant (range_update.cpp:267-407, unused in the
+    reference — parity completeness): residual and every Jacobian block
+    verified by central differences, including the anchor == current-pose
+    special case where the pose terms cancel to the single -1/rho^2
+    column."""
+    q_arr, p_arr, f_arr, anchor = _setup_scene(rng)
+    cur = DIMS.n_poses - 1
+    m = DIMS.n_poses
+    d = DIMS.d
+    cov = jnp.eye(d) * 1e-4
+    feat = 1
+    # exercise BOTH branches: general anchor, then anchor == cur
+    for a_override in (int(anchor[feat]) % (m - 1), cur):
+        anc = anchor.copy()
+        anc[feat] = a_override
+
+        def predict(qa, pa, fa):
+            r_wa = Rotation.from_quat(qa[anc[feat]]).as_matrix()
+            al, be, rho = fa[feat]
+            g_p_f = r_wa @ np.array([al, be, 1.0]) / rho + pa[anc[feat]]
+            r_wc = Rotation.from_quat(qa[cur]).as_matrix()
+            return float((r_wc.T @ (g_p_f - pa[cur]))[2])
+
+        r_true = predict(q_arr, p_arr, f_arr)
+
+        def rows_for(qa, pa, fa):
+            return range_upd.build_per_feature(
+                r_true, jnp.asarray(feat), jnp.asarray(fa),
+                jnp.asarray(anc), jnp.asarray(qa), jnp.asarray(pa), cov,
+                cur, sigma_range=0.05, active=jnp.asarray(True),
+            )
+
+        out = rows_for(q_arr, p_arr, f_arr)
+        assert abs(float(out.res[0])) < 1e-9
+        jac = np.array(out.jac[0])
+        eps = 1e-6
+
+        def num_grad(perturb):
+            qa1, pa1, fa1 = perturb(+eps)
+            qa2, pa2, fa2 = perturb(-eps)
+            return (
+                float(rows_for(qa1, pa1, fa1).res[0])
+                - float(rows_for(qa2, pa2, fa2).res[0])
+            ) / (2 * eps)
+
+        # current pose position (z axis)
+        def pert_pos(e):
+            pa = p_arr.copy()
+            pa[cur, 2] += e
+            return q_arr, pa, f_arr
+
+        np.testing.assert_allclose(
+            -num_grad(pert_pos), jac[15 + 3 * cur + 2], rtol=1e-4, atol=1e-7
+        )
+
+        # current attitude (axis 1)
+        def pert_att(e):
+            qa = q_arr.copy()
+            dq = np.array(
+                lie.error_quat_from_small_angles(jnp.asarray([0.0, e, 0.0]))
+            )
+            qa[cur] = np.array(
+                lie.quat_multiply(jnp.asarray(q_arr[cur]), jnp.asarray(dq))
+            )
+            return qa, p_arr, f_arr
+
+        np.testing.assert_allclose(
+            -num_grad(pert_att), jac[15 + 3 * m + 3 * cur + 1],
+            rtol=1e-4, atol=1e-7,
+        )
+
+        # feature inverse depth rho
+        def pert_rho(e):
+            fa = f_arr.copy()
+            fa[feat, 2] += e
+            return q_arr, p_arr, fa
+
+        np.testing.assert_allclose(
+            -num_grad(pert_rho), jac[15 + 6 * m + 3 * feat + 2],
+            rtol=1e-4, atol=1e-7,
+        )
+
+        if a_override != cur:
+            # anchor position (axis 0)
+            def pert_anchor(e):
+                pa = p_arr.copy()
+                pa[a_override, 0] += e
+                return q_arr, pa, f_arr
+
+            np.testing.assert_allclose(
+                -num_grad(pert_anchor), jac[15 + 3 * a_override],
+                rtol=1e-4, atol=1e-7,
+            )
+        else:
+            # special case: pose blocks cancel; only the feature column
+            # survives, with d(range)/d(rho) = -1/rho^2
+            assert np.allclose(jac[15 + 3 * cur : 15 + 3 * cur + 3], 0.0,
+                               atol=1e-9)
+            assert np.allclose(
+                jac[15 + 3 * m + 3 * cur : 15 + 3 * m + 3 * cur + 3], 0.0,
+                atol=1e-9,
+            )
+            rho = f_arr[feat, 2]
+            np.testing.assert_allclose(
+                jac[15 + 6 * m + 3 * feat + 2], -1.0 / rho**2, rtol=1e-9
+            )

@@ -86,3 +86,78 @@ def build(
     h = jnp.where(keep, h, 0.0)
     res_out = jnp.where(keep, res, 0.0)[None]
     return UpdateRows(h, res_out, jnp.full((1,), sigma_range, dtype))
+
+
+def build_per_feature(
+    range_meas,  # scalar measured range [m]
+    feat_idx,  # int32: SLAM feature slot the LRF is assumed to hit
+    f_arr: jnp.ndarray,  # (N, 3)
+    anchor_idx: jnp.ndarray,  # (N,)
+    q_arr: jnp.ndarray,  # (M, 4)
+    p_arr: jnp.ndarray,  # (M, 3)
+    cov: jnp.ndarray,
+    cur_pose_idx,
+    sigma_range: float,
+    active,
+) -> UpdateRows:
+    """Per-feature LRF range row (reference ``processRangedFeature``,
+    ``range_update.cpp:267-407`` — present but UNUSED in the reference;
+    implemented for parity completeness). Residual: measured range minus
+    the z-coordinate of SLAM feature ``feat_idx`` in the current camera
+    frame; Jacobians wrt current pose, anchor pose and the feature's
+    inverse-depth coordinates (eq. 22-23 lineage). The reference special-
+    cases anchor == current pose (only the d/d rho = -1/rho^2 column
+    survives — the pose terms cancel exactly); here the general-branch
+    algebra reduces to the same row, kept unconditional (verified in
+    tests/test_aux_sensors.py against finite differences in both cases).
+    One (masked) row; chi2(1, 0.90) gate like the facet variant.
+    """
+    m = q_arr.shape[0]
+    d = cov.shape[0]
+    dtype = cov.dtype
+
+    f = f_arr[feat_idx]
+    a_idx = anchor_idx[feat_idx]
+    a_safe = jnp.maximum(a_idx, 0)
+    rho = jnp.where(jnp.abs(f[2]) > 1e-12, f[2], 1.0)
+    bear = jnp.stack([f[0], f[1], jnp.ones((), dtype)])
+    r_wa = lie.quat_to_rot(q_arr[a_safe])
+    g_p_f = r_wa @ bear / rho + p_arr[a_safe]
+
+    q_cur = q_arr[cur_pose_idx]
+    p_cur = p_arr[cur_pose_idx]
+    r_wc = lie.quat_to_rot(q_cur)
+    pt_cam = r_wc.T @ (g_p_f - p_cur)
+    res = jnp.asarray(range_meas, dtype) - pt_cam[2]
+
+    # J_i = d(range_hat)/d(pt_cam) = [0, 0, 1]
+    j_i = jnp.zeros((1, 3), dtype).at[0, 2].set(1.0)
+    j_att = j_i @ lie.skew(pt_cam)  # current attitude
+    j_pos = -j_i @ r_wc.T  # current position
+    j_anchor_pos = -j_pos
+    j_anchor_att = (-1.0 / rho) * j_i @ r_wc.T @ r_wa @ lie.skew(bear)
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    mat = jnp.stack(
+        [
+            jnp.stack([one, zero, -f[0] / rho]),
+            jnp.stack([zero, one, -f[1] / rho]),
+            jnp.stack([zero, zero, -1.0 / rho]),
+        ]
+    )
+    j_f = (1.0 / rho) * j_i @ r_wc.T @ r_wa @ mat
+
+    h = jnp.zeros((1, d), dtype)
+    h = scatter_block(h, j_pos, pose_pos_col(cur_pose_idx, m))
+    h = scatter_block(h, j_att, pose_att_col(cur_pose_idx, m))
+    h = scatter_block(h, j_anchor_pos, pose_pos_col(a_safe, m))
+    h = scatter_block(h, j_anchor_att, pose_att_col(a_safe, m))
+    h = scatter_block(h, j_f, feature_col(feat_idx, m))
+
+    gamma = linalg.mahalanobis_gamma(cov, h / sigma_range, res[None] / sigma_range)
+    inlier = chi2_gate(gamma, jnp.asarray(1), 0.90, 4)
+
+    keep = active & inlier & jnp.isfinite(res) & (a_idx >= 0)
+    h = jnp.where(keep, h, 0.0)
+    res_out = jnp.where(keep, res, 0.0)[None]
+    return UpdateRows(h, res_out, jnp.full((1,), sigma_range, dtype))
