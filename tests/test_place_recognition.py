@@ -188,3 +188,31 @@ def test_request_response_two_agents(rng):
     from x_multi_agent_tpu.ekf import ekf as ekf_mod
     err_after = np.linalg.norm(np.array(ekf_mod.tail_core(fs_b).p) - true_p)
     assert err_after < 0.7 * err_before, (err_before, err_after, np.array(n_matches))
+
+
+def test_hierarchical_vocabulary_training(rng):
+    """DBoW3-parity hierarchical k-majority training (k-ary tree, leaves
+    = words) + greedy tree-walk quantization: on well-separated clustered
+    descriptors the tree walk must agree with the exact flat argmin over
+    the leaf table."""
+    from x_multi_agent_tpu.place_recognition import vocabulary as v
+
+    base = rng.integers(0, 256, (20, 32)).astype(np.uint8)
+    descs = np.repeat(base, 40, axis=0)
+    flips = rng.random(descs.shape + (8,)) < 0.02
+    for b in range(8):
+        descs ^= flips[..., b].astype(np.uint8) << b
+
+    voc = v.train_hierarchical(descs, k=5, depth=2, seed=1)
+    assert 5 <= voc.n_words <= 25
+    assert (voc.word_id >= 0).sum() == voc.n_words
+    # interior nodes have children; leaves have word ids
+    for nid in range(1, voc.nodes.shape[0]):
+        has_child = (voc.children[nid] >= 0).any()
+        assert has_child != (voc.word_id[nid] >= 0)
+
+    ids_tree = v.transform_tree(voc, descs[:100])
+    ids_flat = np.asarray(
+        v.transform(jnp.asarray(voc.words), jnp.asarray(descs[:100]))
+    )
+    assert (ids_tree == ids_flat).mean() > 0.9

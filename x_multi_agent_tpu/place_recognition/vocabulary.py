@@ -211,3 +211,104 @@ def transform(words: jnp.ndarray, descriptors: jnp.ndarray) -> jnp.ndarray:
     x = jnp.bitwise_xor(descriptors[:, None, :], words[None, :, :])
     d = jax.lax.population_count(x).astype(jnp.int32).sum(-1)
     return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+class TreeVocabulary(NamedTuple):
+    """Hierarchical k-ary vocabulary (DBoW3 ``Vocabulary::create``
+    parity, ``third_party/DBow3/src/Vocabulary.cpp`` — branching factor k,
+    depth L, trained by recursive k-majority clustering).
+
+    Stored flat, breadth-first: ``nodes`` (T, 32) centroid per tree node,
+    ``children`` (T, k) int32 child node ids (-1 none), ``word_id`` (T,)
+    leaf word id (-1 for interior). ``words`` is the leaf table in word-id
+    order — identical in role to the flat :class:`Vocabulary`, so
+    everything downstream (VLAD, transform) is unchanged."""
+
+    nodes: np.ndarray  # (T, 32) uint8
+    children: np.ndarray  # (T, k) int32
+    word_id: np.ndarray  # (T,) int32
+    words: np.ndarray  # (W, 32) uint8
+
+    @property
+    def n_words(self) -> int:
+        return int(self.words.shape[0])
+
+
+def train_hierarchical(
+    descriptors: np.ndarray, k: int = 10, depth: int = 3,
+    n_iters: int = 10, seed: int = 0,
+) -> TreeVocabulary:
+    """Hierarchical k-majority training (DBoW3's HKmeansStep lineage:
+    recursively cluster each node's member descriptors into k children
+    until ``depth`` levels; leaves become words). For <=128 words the flat
+    training is exact and preferred; this exists for the from-scratch
+    LARGE-vocabulary story (k^depth words) where flat argmin at query
+    time would be too wide and training all words jointly too slow."""
+    rng = np.random.default_rng(seed)
+    descs = np.asarray(descriptors, np.uint8)
+
+    nodes = [np.zeros(32, np.uint8)]  # root (centroid unused)
+    children: list = [[]]
+    word_of: list = [-1]
+
+    def cluster(member_idx: np.ndarray, level: int, node_id: int):
+        if level == depth or len(member_idx) <= k:
+            return  # node stays a leaf
+        pts = descs[member_idx]
+        kk = min(k, len(pts))
+        sel = rng.choice(len(pts), kk, replace=False)
+        cents = pts[sel].copy()
+        assign = np.zeros(len(pts), np.int64)
+        for _ in range(n_iters):
+            d = _popcount_np(pts[:, None, :] ^ cents[None, :, :])
+            assign = d.argmin(1)
+            for c in range(kk):
+                members = pts[assign == c]
+                if len(members):
+                    bits = np.unpackbits(members, axis=1)
+                    cents[c] = np.packbits((bits.mean(0) >= 0.5).astype(np.uint8))
+        for c in range(kk):
+            cid = len(nodes)
+            nodes.append(cents[c])
+            children.append([])
+            word_of.append(-1)
+            children[node_id].append(cid)
+            cluster(member_idx[assign == c], level + 1, cid)
+
+    cluster(np.arange(len(descs)), 0, 0)
+
+    # leaves -> word ids, breadth-first like DBoW3's createWords
+    words = []
+    for nid in range(len(nodes)):
+        if not children[nid] and nid != 0:
+            word_of[nid] = len(words)
+            words.append(nodes[nid])
+    ch = np.full((len(nodes), k), -1, np.int32)
+    for nid, cs in enumerate(children):
+        ch[nid, : len(cs)] = cs
+    return TreeVocabulary(
+        nodes=np.stack(nodes) if nodes else np.zeros((0, 32), np.uint8),
+        children=ch,
+        word_id=np.asarray(word_of, np.int32),
+        words=np.stack(words) if words else np.zeros((0, 32), np.uint8),
+    )
+
+
+def transform_tree(voc: TreeVocabulary, descriptors: np.ndarray) -> np.ndarray:
+    """DBoW3-style greedy tree-walk quantization (host-side oracle; the
+    production on-device path uses flat :func:`transform` over
+    ``voc.words``, which is exact — the tree walk is the approximate
+    reference behavior, kept for parity checks)."""
+    descs = np.asarray(descriptors, np.uint8)
+    out = np.empty(len(descs), np.int32)
+    for i, d0 in enumerate(descs):
+        nid = 0
+        while True:
+            cs = voc.children[nid]
+            cs = cs[cs >= 0]
+            if len(cs) == 0:
+                break
+            dist = _popcount_np(voc.nodes[cs] ^ d0[None, :])
+            nid = int(cs[dist.argmin()])
+        out[i] = voc.word_id[nid]
+    return out
