@@ -71,6 +71,18 @@ class VioConfig(NamedTuple):
     # measurements through FrameMeasurement.range_active / sun_active.
     enable_range: bool = True
     enable_sun: bool = True
+    # Merge the short-MSCKF rows into the main stacked update instead of a
+    # separate pre-manage update. The reference runs shorts against the
+    # PRE-slide pose list (updater.cpp:52-75) because its window has
+    # already been slid by preProcess; with the merge, short observations
+    # are reindexed across the slide (obs at the evicted pose 0 is
+    # dropped — shorts are < M frames long, so only a rare long dead
+    # track loses one observation) and ride the same GN chain, nullspace
+    # projection, gate and Kalman apply as the MSCKF rows. Saves a full
+    # extra innovation solve + covariance update per frame (~3 ms at 128
+    # agents, measured); the replay-level regression gate is the bench's
+    # trajectory/NEES asserts + tests/test_vio_e2e.
+    merge_short_into_stack: bool = True
 
 
 class FrameMeasurement(NamedTuple):
@@ -288,25 +300,26 @@ def visual_update(
         )
 
     # ---------------- 2. short-MSCKF update (pre-slide pose list) ---------
-    short_rows, _ = msckf.build(
-        frame.short_obs,
-        frame.short_mask,
-        vision.q_arr,
-        vision.p_arr,
-        cov,
-        cfg.sigma_img,
-        n,
-        max_iter=cfg.tri_max_iter,
-        oc=cfg.obs_constrained,
-    )
-    have_short = frame.short_valid.any()
-    corr_short, cov = jax.lax.cond(
-        have_short,
-        lambda: _apply_rows(cov, *short_rows, jnp.zeros(d, dtype)),
-        lambda: (jnp.zeros(d, dtype), cov),
-    )
-    core = correct_core(core, corr_short)
-    vision = correct_vision(vision, corr_short, dims)
+    if not cfg.merge_short_into_stack:
+        short_rows, _ = msckf.build(
+            frame.short_obs,
+            frame.short_mask,
+            vision.q_arr,
+            vision.p_arr,
+            cov,
+            cfg.sigma_img,
+            n,
+            max_iter=cfg.tri_max_iter,
+            oc=cfg.obs_constrained,
+        )
+        have_short = frame.short_valid.any()
+        corr_short, cov = jax.lax.cond(
+            have_short,
+            lambda: _apply_rows(cov, *short_rows, jnp.zeros(d, dtype)),
+            lambda: (jnp.zeros(d, dtype), cov),
+        )
+        core = correct_core(core, corr_short)
+        vision = correct_vision(vision, corr_short, dims)
 
     # ---------------- 3. state management ---------------------------------
     vision, cov, perm, n_keep = sm.manage(
@@ -320,6 +333,25 @@ def visual_update(
     slam_len = jnp.where(keep_sorted, slots.slam_length, 0)
 
     cur_pose_idx = m - 1  # static: the window is right-aligned
+
+    # merged short rows: reindex the dead tracks' observations across the
+    # slide (old window slot k+1 -> new slot k; see merge_short_into_stack)
+    if cfg.merge_short_into_stack:
+        sh_obs = jnp.concatenate(
+            [frame.short_obs[:, 1:], jnp.zeros_like(frame.short_obs[:, :1])],
+            axis=1,
+        )
+        sh_mask = jnp.concatenate(
+            [frame.short_mask[:, 1:],
+             jnp.zeros_like(frame.short_mask[:, :1])],
+            axis=1,
+        ) & frame.short_valid[:, None]
+        stack_obs = jnp.concatenate([frame.msckf_obs, sh_obs], axis=0)
+        stack_mask = jnp.concatenate([frame.msckf_mask, sh_mask], axis=0)
+    else:
+        stack_obs = frame.msckf_obs
+        stack_mask = frame.msckf_mask
+    k_stack = stack_obs.shape[0]
 
     # ---------------- 4. IEKF loop: stacked update -------------------------
     correction_total = jnp.zeros(d, dtype)
@@ -350,9 +382,9 @@ def visual_update(
             # (msckf_update.cpp:90-130, msckf_slam_update.cpp).
             from ..ops.triangulation import triangulate_gn
 
-            k_ms = frame.msckf_obs.shape[0]
-            all_obs = jnp.concatenate([frame.msckf_obs, frame.new_obs], axis=0)
-            all_mask = jnp.concatenate([frame.msckf_mask, new_mask_ms], axis=0)
+            k_ms = k_stack
+            all_obs = jnp.concatenate([stack_obs, frame.new_obs], axis=0)
+            all_mask = jnp.concatenate([stack_mask, new_mask_ms], axis=0)
             ivd_all, anchor_all = linalg.highprec(jax.vmap(
                 lambda o, mk: triangulate_gn(
                     o, mk, vision.q_arr, vision.p_arr,
@@ -368,7 +400,7 @@ def visual_update(
                 lambda f, a: ivd_to_world(f, vision.q_arr[a], vision.p_arr[a])
             )(ivd_all[:k_ms], anchor_all[:k_ms])
             msckf_rows, ms_info = msckf.build(
-                frame.msckf_obs, frame.msckf_mask, vision.q_arr,
+                stack_obs, stack_mask, vision.q_arr,
                 vision.p_arr, cov, cfg.sigma_img, n,
                 oc=cfg.obs_constrained, fixed_world=world_ms,
             )
@@ -379,7 +411,7 @@ def visual_update(
             )
         else:
             msckf_rows, _ = msckf.build(
-                frame.msckf_obs, frame.msckf_mask, vision.q_arr,
+                stack_obs, stack_mask, vision.q_arr,
                 vision.p_arr, cov, cfg.sigma_img, n,
                 oc=cfg.obs_constrained, fixed_world=ms_info.world,
             )
@@ -489,7 +521,8 @@ def visual_update(
         feat_alive = jnp.arange(n) < vision.n_valid_features
         debug = FrameDebug(
             msckf_cur=_last_obs(frame.msckf_obs, frame.msckf_mask),
-            msckf_inlier=ms_info.inlier & frame.msckf_valid,
+            msckf_inlier=ms_info.inlier[: frame.msckf_obs.shape[0]]
+            & frame.msckf_valid,
             msckf_valid=frame.msckf_valid,
             short_cur=_last_obs(frame.short_obs, frame.short_mask),
             short_valid=frame.short_valid,

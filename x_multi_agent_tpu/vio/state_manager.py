@@ -87,7 +87,9 @@ def _remove_features_t(
     n = dims.n_features
     active = jnp.arange(n) < vision.n_valid_features
     keep = active & ~lost
-    perm = jnp.argsort(~keep, stable=True)
+    from .track_manager import stable_partition
+
+    perm = stable_partition(keep)
     n_keep = jnp.sum(keep)
     keep_sorted = jnp.arange(n) < n_keep
 

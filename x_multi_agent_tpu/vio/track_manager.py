@@ -177,21 +177,41 @@ class FrameTracks:
 # ---------------------------------------------------------------------------
 
 
+def stable_partition(keep: jnp.ndarray) -> jnp.ndarray:
+    """Stable permutation putting kept slots first.
+
+    Two cumsums + a unique-position scatter instead of argsort: a bitonic
+    sort network on TPU costs ~n log^2 n small vector ops per call, and
+    manage_tracks runs several per frame (measured in the 128-agent
+    device trace)."""
+    n = keep.shape[0]
+    n_keep = jnp.sum(keep)
+    pos = jnp.where(keep, jnp.cumsum(keep) - 1, n_keep + jnp.cumsum(~keep) - 1)
+    return jnp.zeros((n,), jnp.int32).at[pos].set(jnp.arange(n, dtype=jnp.int32))
+
+
 def compaction_perm(keep: jnp.ndarray) -> jnp.ndarray:
     """Stable permutation putting kept slots first (used for both track
     slots and feature states/covariance so they stay aligned)."""
-    return jnp.argsort(~keep, stable=True)
+    return stable_partition(keep)
 
 
 def _select_budget(mask: jnp.ndarray, order_key: jnp.ndarray, budget: int):
-    """Pick up to ``budget`` slots where mask, highest order_key first.
+    """Pick up to ``budget`` slots where mask, highest order_key first
+    (ties broken by lower slot index, like the stable argsort it
+    replaces — the fractional index bias makes top_k's tie-breaking
+    explicit).
 
     Returns (indices (budget,), valid (budget,)).
     """
-    key = jnp.where(mask, order_key, -jnp.inf)
-    idx = jnp.argsort(-key, stable=True)[:budget]
+    n = mask.shape[0]
+    key = jnp.where(mask, order_key.astype(jnp.float32), -jnp.inf)
+    # strictly decreasing index epsilon => deterministic lower-index-first
+    # tie-break regardless of the top_k implementation
+    key = key - jnp.arange(n, dtype=jnp.float32) * (1.0 / (2.0 * n))
+    _, idx = jax.lax.top_k(key, budget)
     valid = mask[idx]
-    return idx, valid
+    return idx.astype(jnp.int32), valid
 
 
 def check_baseline(
@@ -416,7 +436,7 @@ def manage_tracks(
     free_slot = ~opp_found  # dead or inactive slots are reusable
     # rank new matches and free slots, pair them up
     new_rank = jnp.cumsum(is_new_match) - 1  # (J,)
-    free_idx = jnp.argsort(~free_slot, stable=True)  # free slots first
+    free_idx = stable_partition(free_slot)  # free slots first
     n_free = jnp.sum(free_slot)
     can_place = is_new_match & (new_rank < n_free)
     target = free_idx[jnp.clip(new_rank, 0, k - 1)]  # (J,)
