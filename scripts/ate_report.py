@@ -46,7 +46,7 @@ sys.path.insert(0, REPO)
 DATASET_ROOT = os.environ.get("XMAT_DATASET_DIR", "/tmp/xmat_dataset")
 
 # bump when filter/tracker code changes invalidate cached solo replays
-CODE_SALT = "r5a"  # r5a: tri_max_iter=5, scoped matmul precision, NS-high inner
+CODE_SALT = "r5b"  # r5b: + short rows merged into the main stacked update
 
 # the round-3 "stable regime": linear gain/bias drift + static corner
 # vignette + noise (an oscillating AGC-style gain destabilized solo
